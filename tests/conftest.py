@@ -1,0 +1,35 @@
+"""Test config: force an 8-device virtual CPU mesh before JAX imports.
+
+This is the TPU-native substitute for the reference's missing distributed
+tests (SURVEY.md §4): sharding/pjit paths are validated on host CPU with
+XLA's virtual device partitioning.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # the shell pins axon/TPU; tests run on CPU
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(1234)
+
+
+@pytest.fixture(scope="session")
+def test_wav_path(tmp_path_factory):
+    """A deterministic synthetic 16 kHz test WAV (2 s: tone + noise bursts)."""
+    from masr_tpu.audio.io import write_wave
+    rs = np.random.RandomState(0)
+    sr = 16000
+    t = np.arange(2 * sr) / sr
+    sig = 0.3 * np.sin(2 * np.pi * 440.0 * t).astype(np.float32)
+    sig += 0.05 * rs.standard_normal(len(t)).astype(np.float32)
+    path = tmp_path_factory.mktemp("audio") / "test.wav"
+    write_wave(path, sig, sr)
+    return str(path)
