@@ -1,0 +1,398 @@
+"""Conformer encoder and model — the flagship family
+(parity: masr/model_utils/conformer/encoder.py, model.py).
+
+TPU-first design points:
+- Streaming caches are FIXED-SHAPE pytrees: att cache (L, B, h, C, 2*d_k)
+  right-aligned with a validity counter, cnn cache (L, B, lorder, D). One
+  compiled chunk step serves the whole stream (the reference grows caches
+  dynamically, encoder.py:397-402; XLA requires static shapes, so
+  required_cache_size must be >= 0 here — bounded left context).
+- Dynamic chunk training draws the chunk size on device from an rng; the
+  chunk mask is built from iota comparisons, so a single compiled train step
+  covers every chunk size (reference rebuilds masks per batch on host).
+"""
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from masr_tpu.models.attention import (MultiHeadedAttention,
+                                       RelPositionMultiHeadedAttention,
+                                       cache_key_mask)
+from masr_tpu.models.convolution import ConvolutionModule
+from masr_tpu.models.decoder import BiTransformerDecoder
+from masr_tpu.models.losses import CTCHead, label_smoothing_loss
+from masr_tpu.models.positionwise import PositionwiseFeedForward
+from masr_tpu.models.subsampling import SUBSAMPLING_CLASSES
+from masr_tpu.ops.common import IGNORE_ID, add_sos_eos, get_activation, \
+    reverse_pad_list, th_accuracy
+from masr_tpu.ops.masks import add_optional_chunk_mask, make_pad_mask
+
+
+class ConformerEncoderLayer(nn.Module):
+    """macaron-FFN(×0.5) → rel-pos MHSA → conv → FFN(×0.5) → final LN
+    (parity: conformer/encoder.py:22-163, pre-norm default)."""
+    size: int
+    attention_heads: int
+    linear_units: int
+    dropout_rate: float = 0.1
+    attention_dropout_rate: float = 0.0
+    normalize_before: bool = True
+    macaron_style: bool = True
+    use_cnn_module: bool = True
+    cnn_module_kernel: int = 15
+    cnn_module_norm: str = "layer_norm"
+    causal: bool = False
+    activation_type: str = "swish"
+    rel_pos: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        act = get_activation(self.activation_type)
+        attn_cls = RelPositionMultiHeadedAttention if self.rel_pos \
+            else MultiHeadedAttention
+        self.self_attn = attn_cls(self.attention_heads, self.size,
+                                  self.attention_dropout_rate,
+                                  dtype=self.dtype, name="self_attn")
+        self.feed_forward = PositionwiseFeedForward(
+            self.size, self.linear_units, self.dropout_rate, activation=act,
+            dtype=self.dtype, name="feed_forward")
+        if self.macaron_style:
+            self.feed_forward_macaron = PositionwiseFeedForward(
+                self.size, self.linear_units, self.dropout_rate, activation=act,
+                dtype=self.dtype, name="feed_forward_macaron")
+        if self.use_cnn_module:
+            self.conv_module = ConvolutionModule(
+                self.size, self.cnn_module_kernel, activation=act,
+                norm=self.cnn_module_norm, causal=self.causal,
+                dtype=self.dtype, name="conv_module")
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)
+        self.norm_ff = ln("norm_ff")
+        self.norm_mha = ln("norm_mha")
+        if self.macaron_style:
+            self.norm_ff_macaron = ln("norm_ff_macaron")
+        if self.use_cnn_module:
+            self.norm_conv = ln("norm_conv")
+            self.norm_final = ln("norm_final")
+        self.dropout = nn.Dropout(self.dropout_rate)
+
+    @property
+    def ff_scale(self):
+        return 0.5 if self.macaron_style else 1.0
+
+    def __call__(self, x, mask, pos_emb, mask_pad=None, att_cache=None,
+                 cnn_cache=None, train: bool = False):
+        det = not train
+        if self.macaron_style:
+            residual = x
+            if self.normalize_before:
+                x = self.norm_ff_macaron(x)
+            x = residual + self.ff_scale * self.dropout(
+                self.feed_forward_macaron(x, train), deterministic=det)
+            if not self.normalize_before:
+                x = self.norm_ff_macaron(x)
+
+        residual = x
+        if self.normalize_before:
+            x = self.norm_mha(x)
+        x_att, new_att_cache = self.self_attn(
+            x, x, x, mask=mask, pos_emb=pos_emb, cache=att_cache, train=train)
+        x = residual + self.dropout(x_att, deterministic=det)
+        if not self.normalize_before:
+            x = self.norm_mha(x)
+
+        new_cnn_cache = None
+        if self.use_cnn_module:
+            residual = x
+            if self.normalize_before:
+                x = self.norm_conv(x)
+            x, new_cnn_cache = self.conv_module(x, mask_pad, cnn_cache, train)
+            x = residual + self.dropout(x, deterministic=det)
+            if not self.normalize_before:
+                x = self.norm_conv(x)
+
+        residual = x
+        if self.normalize_before:
+            x = self.norm_ff(x)
+        x = residual + self.ff_scale * self.dropout(
+            self.feed_forward(x, train), deterministic=det)
+        if not self.normalize_before:
+            x = self.norm_ff(x)
+
+        if self.use_cnn_module:
+            x = self.norm_final(x)
+        return x, new_att_cache, new_cnn_cache
+
+
+class ConformerEncoder(nn.Module):
+    """(parity: conformer/encoder.py:166-420)."""
+    input_size: int
+    output_size: int = 256
+    attention_heads: int = 4
+    linear_units: int = 2048
+    num_blocks: int = 6
+    dropout_rate: float = 0.1
+    positional_dropout_rate: float = 0.1
+    attention_dropout_rate: float = 0.0
+    input_layer: str = "conv2d"
+    pos_enc_layer_type: str = "rel_pos"
+    normalize_before: bool = True
+    static_chunk_size: int = 0
+    use_dynamic_chunk: bool = False
+    use_dynamic_left_chunk: bool = False
+    macaron_style: bool = True
+    activation_type: str = "swish"
+    use_cnn_module: bool = True
+    cnn_module_kernel: int = 15
+    causal: bool = False
+    cnn_module_norm: str = "layer_norm"
+    cmvn: Any = None
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.embed = SUBSAMPLING_CLASSES[self.input_layer](
+            idim=self.input_size, odim=self.output_size,
+            dropout_rate=self.dropout_rate,
+            pos_enc_type=self.pos_enc_layer_type,
+            pos_dropout_rate=self.positional_dropout_rate,
+            dtype=self.dtype, name="embed")
+        self.encoders = [ConformerEncoderLayer(
+            size=self.output_size, attention_heads=self.attention_heads,
+            linear_units=self.linear_units, dropout_rate=self.dropout_rate,
+            attention_dropout_rate=self.attention_dropout_rate,
+            normalize_before=self.normalize_before,
+            macaron_style=self.macaron_style,
+            use_cnn_module=self.use_cnn_module,
+            cnn_module_kernel=self.cnn_module_kernel,
+            cnn_module_norm=self.cnn_module_norm, causal=self.causal,
+            activation_type=self.activation_type,
+            rel_pos=self.pos_enc_layer_type == "rel_pos", dtype=self.dtype,
+            name=f"layer_{i}") for i in range(self.num_blocks)]
+        self.after_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                       name="after_norm")
+
+    @property
+    def d_k(self):
+        return self.output_size // self.attention_heads
+
+    @property
+    def lorder(self):
+        return self.cnn_module_kernel - 1 if self.causal else 0
+
+    def __call__(self, xs, xs_lens, decoding_chunk_size: int = 0,
+                 num_decoding_left_chunks: int = -1, train: bool = False):
+        """Full-context / dynamic-chunk forward → (out (B,T',D), masks (B,1,T'))."""
+        T = xs.shape[1]
+        masks = ~make_pad_mask(xs_lens, T)[:, None, :]
+        if self.cmvn is not None:
+            xs = self.cmvn(xs)
+        xs = xs.astype(self.dtype)
+        xs, pos_emb, masks = self.embed(xs, masks, 0, train)
+        mask_pad = masks
+        T2 = xs.shape[1]
+        rng = None
+        if (self.use_dynamic_chunk and decoding_chunk_size == 0):
+            rng = self.make_rng("chunk")
+        chunk_masks = add_optional_chunk_mask(
+            T2, masks, self.use_dynamic_chunk, self.use_dynamic_left_chunk,
+            decoding_chunk_size, self.static_chunk_size,
+            num_decoding_left_chunks, rng=rng)
+        for layer in self.encoders:
+            xs, _, _ = layer(xs, chunk_masks, pos_emb, mask_pad, train=train)
+        if self.normalize_before:
+            xs = self.after_norm(xs)
+        return xs, masks
+
+    def forward_chunk(self, xs, offset, att_cache, cnn_cache, cache_len):
+        """One streaming chunk (parity: encoder.py:348-420, fixed shapes).
+
+        Args:
+          xs: (B, T_in, input_size) feature chunk,
+              T_in = (chunk-1)*subsampling + right_context + 1.
+          offset: traced scalar — encoder-output frames already emitted.
+          att_cache: (L, B, h, C, 2*d_k); right-aligned, cache_len valid.
+          cnn_cache: (L, B, lorder, D).
+          cache_len: traced scalar — number of valid cache frames (≤ C).
+        Returns (ys (B, chunk, D), new_att_cache, new_cnn_cache).
+        """
+        if self.cmvn is not None:
+            xs = self.cmvn(xs)
+        xs = xs.astype(self.dtype)
+        xs, _, _ = self.embed(xs, None, offset, False)
+        B, chunk = xs.shape[0], xs.shape[1]
+        C = att_cache.shape[3]
+        # key positions: offset - C .. offset + chunk (clamped at 0)
+        pos_emb = self._chunk_pos_emb(offset - C, C + chunk)
+        att_mask = cache_key_mask(C, chunk, cache_len, batch=B)
+
+        new_att, new_cnn = [], []
+        for i, layer in enumerate(self.encoders):
+            xs, a, c = layer(
+                xs, att_mask, pos_emb, None,
+                att_cache=(att_cache[i], cache_len),
+                cnn_cache=cnn_cache[i] if self.causal and self.use_cnn_module
+                else None)
+            new_att.append(a)
+            if c is not None:
+                new_cnn.append(c)
+        if self.normalize_before:
+            xs = self.after_norm(xs)
+        new_att_cache = jnp.stack(new_att, axis=0)
+        new_cnn_cache = jnp.stack(new_cnn, axis=0) if new_cnn else cnn_cache
+        return xs, new_att_cache, new_cnn_cache
+
+    def _chunk_pos_emb(self, start, size):
+        from masr_tpu.models.embedding import sinusoid_position_encoding
+        positions = jnp.maximum(start + jnp.arange(size), 0)
+        return sinusoid_position_encoding(positions, self.output_size,
+                                          self.dtype)[None]
+
+    def init_cache(self, batch=1, cache_size=None, chunk_size=16,
+                   num_left_chunks=16):
+        """Zeroed streaming cache pytree."""
+        C = cache_size if cache_size is not None else chunk_size * num_left_chunks
+        att = jnp.zeros((self.num_blocks, batch, self.attention_heads, C,
+                         2 * self.d_k), self.dtype)
+        cnn = jnp.zeros((self.num_blocks, batch, max(self.lorder, 1),
+                         self.output_size), self.dtype)
+        return {"att_cache": att, "cnn_cache": cnn,
+                "offset": jnp.zeros((), jnp.int32),
+                "cache_len": jnp.zeros((), jnp.int32)}
+
+
+class ConformerModel(nn.Module):
+    """Hybrid CTC + bidirectional-attention model
+    (parity: conformer/model.py:16-195)."""
+    input_dim: int
+    vocab_size: int
+    cmvn: Any = None
+    streaming: bool = True
+    encoder_conf: Optional[Dict] = None
+    decoder_conf: Optional[Dict] = None
+    ctc_weight: float = 0.5
+    ignore_id: int = IGNORE_ID
+    reverse_weight: float = 0.0
+    lsm_weight: float = 0.0
+    length_normalized_loss: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        assert 0.0 <= self.ctc_weight <= 1.0
+        enc_conf = dict(self.encoder_conf or {})
+        self.encoder = ConformerEncoder(
+            input_size=self.input_dim, cmvn=self.cmvn,
+            use_dynamic_chunk=self.streaming, causal=self.streaming,
+            dtype=self.dtype, name="encoder", **enc_conf)
+        dec_conf = dict(self.decoder_conf or {})
+        self.decoder = BiTransformerDecoder(
+            vocab_size=self.vocab_size,
+            encoder_output_size=self.encoder.output_size,
+            dtype=self.dtype, name="decoder", **dec_conf)
+        self.ctc = CTCHead(self.vocab_size, dtype=self.dtype, name="ctc")
+
+    @property
+    def sos(self):
+        return self.vocab_size - 1
+
+    @property
+    def eos(self):
+        return self.vocab_size - 1
+
+    def __call__(self, speech, speech_lengths, text, text_lengths,
+                 train: bool = False):
+        """→ {'loss', 'loss_att', 'loss_ctc', 'acc_att'} (model.py:68-113)."""
+        encoder_out, encoder_mask = self.encoder(speech, speech_lengths,
+                                                 train=train)
+        encoder_out_lens = encoder_mask[:, 0, :].sum(axis=1).astype(jnp.int32)
+
+        loss_att = jnp.zeros((), jnp.float32)
+        acc_att = jnp.zeros((), jnp.float32)
+        if self.ctc_weight != 1.0:
+            loss_att, acc_att = self._calc_att_loss(
+                encoder_out, encoder_mask, text, text_lengths, train)
+        loss_ctc = jnp.zeros((), jnp.float32)
+        if self.ctc_weight != 0.0:
+            loss_ctc = self.ctc(encoder_out, encoder_out_lens, text,
+                                text_lengths, train)
+        if self.ctc_weight == 0.0:
+            loss = loss_att
+        elif self.ctc_weight == 1.0:
+            loss = loss_ctc
+        else:
+            loss = self.ctc_weight * loss_ctc + (1 - self.ctc_weight) * loss_att
+        return {"loss": loss, "loss_att": loss_att, "loss_ctc": loss_ctc,
+                "acc_att": acc_att}
+
+    def _calc_att_loss(self, encoder_out, encoder_mask, ys_pad, ys_pad_lens,
+                       train):
+        ys_in_pad, ys_out_pad = add_sos_eos(ys_pad, ys_pad_lens, self.sos,
+                                            self.eos, self.ignore_id)
+        ys_in_lens = ys_pad_lens + 1
+        r_ys_pad = reverse_pad_list(ys_pad, ys_pad_lens,
+                                    float(self.ignore_id)).astype(ys_pad.dtype)
+        r_ys_in_pad, r_ys_out_pad = add_sos_eos(r_ys_pad, ys_pad_lens,
+                                                self.sos, self.eos,
+                                                self.ignore_id)
+        decoder_out, r_decoder_out = self.decoder(
+            encoder_out, encoder_mask, ys_in_pad, ys_in_lens, r_ys_in_pad,
+            self.reverse_weight, train)
+        loss_att = label_smoothing_loss(
+            decoder_out, ys_out_pad, self.vocab_size, self.ignore_id,
+            self.lsm_weight, self.length_normalized_loss)
+        if self.reverse_weight > 0.0:
+            r_loss_att = label_smoothing_loss(
+                r_decoder_out, r_ys_out_pad, self.vocab_size, self.ignore_id,
+                self.lsm_weight, self.length_normalized_loss)
+            loss_att = loss_att * (1 - self.reverse_weight) \
+                + r_loss_att * self.reverse_weight
+        acc_att = th_accuracy(
+            decoder_out.reshape(-1, self.vocab_size), ys_out_pad,
+            self.ignore_id)
+        return loss_att, acc_att
+
+    def get_encoder_out(self, speech, speech_lengths):
+        """Full-context CTC softmax (model.py:152-167) → (probs, out_lens)."""
+        encoder_out, mask = self.encoder(speech, speech_lengths,
+                                         decoding_chunk_size=-1,
+                                         num_decoding_left_chunks=-1)
+        lens = mask[:, 0, :].sum(axis=1).astype(jnp.int32)
+        return self.ctc.softmax(encoder_out), lens
+
+    def get_encoder_out_chunk(self, speech, state):
+        """Streaming chunk step (model.py:169-190) → (probs, new_state)."""
+        ys, att, cnn = self.encoder.forward_chunk(
+            speech, state["offset"], state["att_cache"], state["cnn_cache"],
+            state["cache_len"])
+        chunk = ys.shape[1]
+        C = state["att_cache"].shape[3]
+        new_state = {
+            "att_cache": att, "cnn_cache": cnn,
+            "offset": state["offset"] + chunk,
+            "cache_len": jnp.minimum(state["cache_len"] + chunk, C),
+        }
+        return self.ctc.softmax(ys), new_state
+
+    def ctc_logits(self, encoder_out):
+        return self.ctc.logits(encoder_out)
+
+    def ctc_log_softmax(self, encoder_out):
+        return self.ctc.log_softmax(encoder_out)
+
+    def attention_rescore_scores(self, encoder_out, encoder_mask, hyps,
+                                 hyps_lens, reverse_weight: float = 0.0):
+        """Score padded hypotheses (B, L) with the attention decoder — used
+        by attention-rescoring decode (decoder.py:233 forward_one_step is
+        defined-but-unused in the reference; here rescoring is wired up)."""
+        ys_in_pad, ys_out_pad = add_sos_eos(hyps, hyps_lens, self.sos,
+                                            self.eos, self.ignore_id)
+        r_hyps = reverse_pad_list(hyps, hyps_lens,
+                                  float(self.ignore_id)).astype(hyps.dtype)
+        r_ys_in_pad, r_ys_out_pad = add_sos_eos(r_hyps, hyps_lens, self.sos,
+                                                self.eos, self.ignore_id)
+        decoder_out, r_decoder_out = self.decoder(
+            encoder_out, encoder_mask, ys_in_pad, hyps_lens + 1, r_ys_in_pad,
+            reverse_weight, False)
+        return (jax.nn.log_softmax(decoder_out, axis=-1),
+                jax.nn.log_softmax(r_decoder_out, axis=-1)
+                if reverse_weight > 0 else r_decoder_out)

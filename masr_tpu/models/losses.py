@@ -1,0 +1,74 @@
+"""CTC head and label-smoothing loss
+(parity: masr/model_utils/loss/ctc.py, loss/label_smoothing_loss.py)."""
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+import optax
+
+from masr_tpu.ops.common import IGNORE_ID
+
+
+class CTCHead(nn.Module):
+    """Linear projection + CTC loss / softmax heads (ctc.py:6-81).
+
+    Loss matches the reference's reduction: per-utterance sum of negative
+    log-likelihood, averaged over the batch (ctc.py:46-50).
+    """
+    odim: int
+    dropout_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.ctc_lo = nn.Dense(self.odim, dtype=self.dtype, name="ctc_lo")
+        self.dropout = nn.Dropout(self.dropout_rate)
+
+    def __call__(self, hs_pad, hlens, ys_pad, ys_lens, train: bool = False):
+        x = self.dropout(hs_pad, deterministic=not train)
+        logits = self.ctc_lo(x).astype(jnp.float32)
+        B, T, V = logits.shape
+        L = ys_pad.shape[1]
+        logit_paddings = (jnp.arange(T)[None, :] >= hlens[:, None]).astype(jnp.float32)
+        labels = jnp.where(ys_pad == IGNORE_ID, 0, ys_pad)
+        label_paddings = (jnp.arange(L)[None, :] >= ys_lens[:, None]).astype(jnp.float32)
+        per_seq = optax.ctc_loss(logits, logit_paddings, labels, label_paddings,
+                                 blank_id=0)
+        return jnp.mean(per_seq)
+
+    def logits(self, hs_pad):
+        return self.ctc_lo(hs_pad)
+
+    def log_softmax(self, hs_pad):
+        return jax.nn.log_softmax(self.ctc_lo(hs_pad).astype(jnp.float32), axis=2)
+
+    def softmax(self, hs_pad):
+        return jax.nn.softmax(self.ctc_lo(hs_pad).astype(jnp.float32), axis=2)
+
+    def argmax(self, hs_pad):
+        return jnp.argmax(self.ctc_lo(hs_pad), axis=2)
+
+
+def label_smoothing_loss(logits, target, size, padding_idx=IGNORE_ID,
+                         smoothing=0.1, normalize_length=False):
+    """KL(true_smoothed ‖ softmax(logits)) with padding masked
+    (label_smoothing_loss.py:53-80).
+
+    logits: (B, L, V); target: (B, L) with padding_idx marking ignored.
+    """
+    B = logits.shape[0]
+    V = size
+    x = logits.reshape(-1, V).astype(jnp.float32)
+    t = target.reshape(-1)
+    ignore = t == padding_idx
+    t_safe = jnp.where(ignore, 0, t)
+    confidence = 1.0 - smoothing
+    low = smoothing / (V - 1)
+    true_dist = jnp.full_like(x, low)
+    true_dist = true_dist.at[jnp.arange(x.shape[0]), t_safe].set(confidence)
+    log_probs = jax.nn.log_softmax(x, axis=1)
+    # KLDiv(log_input, target) elementwise = target * (log(target) - log_input)
+    safe_log_true = jnp.where(true_dist > 0, jnp.log(true_dist), 0.0)
+    kl = true_dist * (safe_log_true - log_probs)
+    kl = jnp.where(ignore[:, None], 0.0, kl)
+    total = jnp.maximum(jnp.sum(~ignore), 1)
+    denom = total if normalize_length else B
+    return jnp.sum(kl) / denom

@@ -6,11 +6,17 @@ XLA's virtual device partitioning.
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # the shell pins axon/TPU; tests run on CPU
+# The image's sitecustomize registers the axon TPU plugin at interpreter
+# start and pins jax_platforms="axon,cpu"; env vars alone don't override it.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
