@@ -1,0 +1,215 @@
+"""CTC prefix beam search with optional n-gram LM
+(parity: masr/decoders/beam_search_decoder.py over the external C++
+`paddlespeech_ctcdecoders`: offline, batch, and stateful streaming decode).
+
+Two engines, same semantics:
+- the native C++ extension (masr_tpu/decoders/native/, ctypes-loaded) —
+  the fast path, mirroring the reference's C++/SWIG component;
+- a pure-Python fallback used when the extension isn't built.
+
+Like the reference, decoding works on softmax probs; LM fusion adds
+alpha*log10 P_lm + beta per completed word (char for char LMs).
+"""
+import math
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from masr_tpu.data.text_featurizer import SPACE_TOKEN
+from masr_tpu.decoders.scorer import Scorer
+from masr_tpu.utils.logger import setup_logger
+
+logger = setup_logger()
+
+NEG_INF = -float("inf")
+
+
+def _log_sum_exp(*xs):
+    m = max(xs)
+    if m == NEG_INF:
+        return NEG_INF
+    return m + math.log(sum(math.exp(x - m) for x in xs))
+
+
+class _PyPrefixBeamSearch(object):
+    """Pure-Python stateful prefix beam search over one stream."""
+
+    def __init__(self, vocab_list, beam_size=300, cutoff_prob=0.99,
+                 cutoff_top_n=40, blank_id=0, scorer=None):
+        self.vocab_list = vocab_list
+        self.beam_size = beam_size
+        self.cutoff_prob = cutoff_prob
+        self.cutoff_top_n = cutoff_top_n
+        self.blank_id = blank_id
+        self.scorer = scorer
+        self.reset()
+
+    def reset(self):
+        # prefix (tuple of token ids) -> [p_blank, p_non_blank, lm_score]
+        self.beams = {(): [0.0, NEG_INF, 0.0]}
+
+    def _char(self, tid):
+        tok = self.vocab_list[tid]
+        return " " if tok == SPACE_TOKEN else tok
+
+    def _lm_delta(self, prefix, tid):
+        """LM score increment for appending token tid to prefix."""
+        if self.scorer is None:
+            return 0.0
+        ch = self._char(tid)
+        if self.scorer.is_character_based:
+            if ch == " ":
+                return 0.0
+            context = [self._char(t) for t in prefix if self._char(t) != " "]
+            return self.scorer.score_word(context, ch)
+        # word-based: score the completed word when a space arrives
+        if ch != " ":
+            return 0.0
+        text = "".join(self._char(t) for t in prefix)
+        words = [w for w in text.split(" ") if w]
+        if not words:
+            return 0.0
+        return self.scorer.score_word(words[:-1], words[-1])
+
+    def step(self, probs):
+        """Advance over (T, V) softmax probs."""
+        eps = 1e-20
+        for frame in probs:
+            log_frame = np.log(np.maximum(frame, eps))
+            # pruning: top tokens within cutoff_prob mass, max cutoff_top_n
+            order = np.argsort(frame)[::-1]
+            csum = np.cumsum(frame[order])
+            n = int(np.searchsorted(csum, self.cutoff_prob) + 1)
+            cand = order[: min(max(n, 1), self.cutoff_top_n)]
+            new_beams = {}
+
+            def get(prefix):
+                return new_beams.setdefault(prefix, [NEG_INF, NEG_INF, 0.0])
+
+            for prefix, (p_b, p_nb, lm) in self.beams.items():
+                p_tot = _log_sum_exp(p_b, p_nb)
+                for tid in cand:
+                    tid = int(tid)
+                    lp = float(log_frame[tid])
+                    if tid == self.blank_id:
+                        e = get(prefix)
+                        e[0] = _log_sum_exp(e[0], p_tot + lp)
+                        e[2] = lm
+                        continue
+                    last = prefix[-1] if prefix else None
+                    if tid == last:
+                        # repeat: extends p_nb of same prefix...
+                        e = get(prefix)
+                        e[1] = _log_sum_exp(e[1], p_nb + lp)
+                        e[2] = lm
+                        # ...or new token after a blank
+                        np_prefix = prefix + (tid,)
+                        e2 = get(np_prefix)
+                        d = self._lm_delta(prefix, tid)
+                        e2[1] = _log_sum_exp(e2[1], p_b + lp)
+                        e2[2] = lm + d
+                    else:
+                        np_prefix = prefix + (tid,)
+                        e2 = get(np_prefix)
+                        d = self._lm_delta(prefix, tid)
+                        e2[1] = _log_sum_exp(e2[1], p_tot + lp)
+                        e2[2] = lm + d
+            # prune to beam_size by combined score
+            scored = sorted(
+                new_beams.items(),
+                key=lambda kv: _log_sum_exp(kv[1][0], kv[1][1]) + kv[1][2],
+                reverse=True)
+            self.beams = dict(scored[: self.beam_size])
+
+    def result(self):
+        """→ (combined_log_score, text) for the best prefix."""
+        best, vals = max(
+            self.beams.items(),
+            key=lambda kv: _log_sum_exp(kv[1][0], kv[1][1]) + kv[1][2])
+        text = "".join(self._char(t) for t in best)
+        score = _log_sum_exp(vals[0], vals[1]) + vals[2]
+        return score, text
+
+
+def _load_native():
+    try:
+        from masr_tpu.decoders.native import ctc_decoders
+        return ctc_decoders
+    except Exception:
+        return None
+
+
+class BeamSearchDecoder(object):
+    """Public decoder facade (parity: beam_search_decoder.py:8-116)."""
+
+    def __init__(self, vocab_list, alpha=2.2, beta=4.3, beam_size=300,
+                 num_processes=10, cutoff_prob=0.99, cutoff_top_n=40,
+                 language_model_path=None, blank_id=0):
+        self.vocab_list = vocab_list
+        self.alpha, self.beta = alpha, beta
+        self.beam_size = beam_size
+        self.num_processes = num_processes
+        self.cutoff_prob = cutoff_prob
+        self.cutoff_top_n = cutoff_top_n
+        self.blank_id = blank_id
+        self._native = _load_native()
+        self.scorer = None
+        if language_model_path:
+            import os
+            if os.path.exists(language_model_path):
+                if self._native is not None:
+                    self._native.init_scorer(alpha, beta, language_model_path)
+                else:
+                    self.scorer = Scorer(alpha, beta, language_model_path,
+                                         vocab_list)
+            else:
+                logger.warning(f"language model not found: "
+                               f"{language_model_path}; decoding without LM")
+        if self._native is not None:
+            self._native.set_vocab(vocab_list, blank_id)
+        self._stream = None
+
+    # -------------------------- offline ------------------------------- #
+    def decode_beam_search_offline(self, probs_seq):
+        """(T, V) softmax probs → (score, text)."""
+        if self._native is not None:
+            return self._native.decode(np.asarray(probs_seq, np.float32),
+                                       self.beam_size, self.cutoff_prob,
+                                       self.cutoff_top_n)
+        bs = _PyPrefixBeamSearch(self.vocab_list, self.beam_size,
+                                 self.cutoff_prob, self.cutoff_top_n,
+                                 self.blank_id, self.scorer)
+        bs.step(np.asarray(probs_seq))
+        return bs.result()
+
+    def decode_batch_beam_search_offline(self, probs_split):
+        """List of per-utterance probs → [(score, text)] (thread pool,
+        mirroring the reference's multiprocess batch decode)."""
+        if len(probs_split) == 1:
+            return [self.decode_beam_search_offline(probs_split[0])]
+        with ThreadPoolExecutor(min(self.num_processes,
+                                    max(len(probs_split), 1))) as pool:
+            return list(pool.map(self.decode_beam_search_offline, probs_split))
+
+    # -------------------------- streaming ------------------------------ #
+    def decode_chunk(self, probs_chunk):
+        """Stateful chunk decode → (score, text) of current best prefix."""
+        if self._stream is None:
+            if self._native is not None:
+                self._stream = self._native.StreamDecoder(
+                    self.beam_size, self.cutoff_prob, self.cutoff_top_n)
+            else:
+                self._stream = _PyPrefixBeamSearch(
+                    self.vocab_list, self.beam_size, self.cutoff_prob,
+                    self.cutoff_top_n, self.blank_id, self.scorer)
+        if self._native is not None:
+            return self._stream.next(np.asarray(probs_chunk, np.float32))
+        self._stream.step(np.asarray(probs_chunk))
+        return self._stream.result()
+
+    def reset_state(self):
+        if self._stream is not None:
+            if self._native is not None:
+                self._stream.reset()
+            else:
+                self._stream.reset()

@@ -1,0 +1,101 @@
+"""ARPA backoff n-gram LM scorer (replaces the KenLM dependency of the
+reference's external `paddlespeech_ctcdecoders` Scorer,
+masr/decoders/swig_wrapper.py:9-34).
+
+Reads standard ARPA text files (optionally gzipped) into a hash table and
+scores with Katz backoff. Scoring unit is a "word": whitespace-delimited
+for word LMs, single characters for character LMs (is_character_based).
+The combined shallow-fusion score matches the reference convention:
+  alpha * log10 P_lm(word|ctx) + beta   (per completed word)
+"""
+import gzip
+import math
+
+LOG10_NEG_INF = -99.0
+
+
+class ArpaLM(object):
+    def __init__(self, path):
+        self.ngrams = {}  # tuple(words) -> (logp, backoff)
+        self.order = 0
+        self._load(path)
+
+    def _load(self, path):
+        opener = gzip.open if str(path).endswith(".gz") else open
+        with opener(path, "rt", encoding="utf-8", errors="replace") as f:
+            section = None
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                if line.startswith("\\") and "grams:" in line:
+                    section = int(line[1:line.index("-")])
+                    self.order = max(self.order, section)
+                    continue
+                if line.startswith("\\") or line.startswith("ngram"):
+                    if line == "\\end\\":
+                        break
+                    continue
+                if section is None:
+                    continue
+                parts = line.split("\t")
+                if len(parts) < 2:
+                    continue
+                logp = float(parts[0])
+                words = tuple(parts[1].split())
+                backoff = float(parts[2]) if len(parts) > 2 else 0.0
+                self.ngrams[words] = (logp, backoff)
+
+    def log10_cond(self, context, word):
+        """log10 P(word | context) with Katz backoff."""
+        ctx = tuple(context)[-(self.order - 1):] if self.order > 1 else ()
+        while True:
+            entry = self.ngrams.get(ctx + (word,))
+            if entry is not None:
+                return entry[0]
+            if not ctx:
+                unk = self.ngrams.get(("<unk>",))
+                return unk[0] if unk is not None else LOG10_NEG_INF
+            bo = self.ngrams.get(ctx)
+            backoff = bo[1] if bo is not None else 0.0
+            ctx = ctx[1:]
+            entry = self.ngrams.get(ctx + (word,))
+            if entry is not None:
+                return backoff + entry[0]
+            # continue backing off, accumulating is handled by recursion:
+            return backoff + self.log10_cond(ctx, word)
+
+
+class Scorer(object):
+    """Shallow-fusion scorer (parity: swig_wrapper Scorer(alpha, beta,
+    lm_path, vocab)). Character-based iff the LM's unigrams are
+    single CJK characters."""
+
+    def __init__(self, alpha, beta, language_model_path, vocabulary=None):
+        self.alpha = alpha
+        self.beta = beta
+        self.lm = ArpaLM(language_model_path) if language_model_path else None
+        self.is_character_based = self._detect_character_based() \
+            if self.lm else True
+
+    def _detect_character_based(self):
+        n, single = 0, 0
+        for words in self.lm.ngrams:
+            if len(words) == 1 and words[0] not in ("<s>", "</s>", "<unk>"):
+                n += 1
+                if len(words[0]) == 1:
+                    single += 1
+                if n >= 200:
+                    break
+        return n > 0 and single / n > 0.9
+
+    def words_of(self, text):
+        if self.is_character_based:
+            return [c for c in text if c != " "]
+        return [w for w in text.split(" ") if w]
+
+    def score_word(self, context_words, word):
+        """alpha * log10 P(word|ctx) + beta for one completed word."""
+        if self.lm is None:
+            return self.beta
+        return self.alpha * self.lm.log10_cond(context_words, word) + self.beta

@@ -1,0 +1,95 @@
+"""InferencePredictor — the jitted-model host
+(parity: masr/infer_utils/inference_predictor.py:9-102).
+
+Owns the compiled forward functions and the device-resident streaming
+state. Full-context inputs are padded to length buckets so XLA compiles a
+handful of programs instead of one per utterance; the streaming chunk step
+compiles exactly once and keeps att/cnn caches on device between calls.
+"""
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from masr_tpu.infer.bundle import load_inference_bundle
+
+
+def _round_up(n, m):
+    return -(-n // m) * m
+
+
+class InferencePredictor(object):
+    def __init__(self, model_dir=None, model=None, variables=None, meta=None,
+                 use_model=None, streaming=True, length_bucket=200,
+                 decoding_chunk_size=16, num_decoding_left_chunks=16,
+                 dtype=None):
+        import masr_tpu
+        masr_tpu.enable_compilation_cache()
+        if model_dir is not None:
+            import os
+            if not os.path.exists(os.path.join(model_dir, "inference.json")):
+                raise FileNotFoundError(
+                    f"not an inference bundle (no inference.json): {model_dir}"
+                    " — export one with export_model.py")
+            model, variables, meta, _ = load_inference_bundle(model_dir, dtype)
+            use_model = meta["use_model"]
+            streaming = meta["streaming"]
+        assert model is not None and variables is not None
+        self.model = model
+        self.variables = variables
+        self.meta = meta or {}
+        self.use_model = use_model
+        self.streaming = streaming
+        self.length_bucket = length_bucket
+        self.decoding_chunk_size = decoding_chunk_size
+        self.num_decoding_left_chunks = num_decoding_left_chunks
+        self.cache_size = decoding_chunk_size * num_decoding_left_chunks
+
+        self._encode = jax.jit(self._encode_impl)
+        self._chunk_step = jax.jit(self._chunk_step_impl)
+        self.state = None  # streaming state pytree
+
+    # ------------------------------------------------------------------ #
+    def _encode_impl(self, variables, speech, lens):
+        return self.model.apply(variables, speech, lens,
+                                method=type(self.model).get_encoder_out)
+
+    def _chunk_step_impl(self, variables, speech, state):
+        return self.model.apply(variables, speech, state,
+                                method=type(self.model).get_encoder_out_chunk)
+
+    # ------------------------------------------------------------------ #
+    def predict(self, speech, speech_lengths):
+        """Full-context CTC probs. speech: (B, T, F) ndarray →
+        (probs (B, T', V) ndarray, out_lens (B,))."""
+        speech = np.asarray(speech, np.float32)
+        B, T, F = speech.shape
+        T_pad = _round_up(max(T, 8), self.length_bucket)
+        if T_pad != T:
+            speech = np.pad(speech, ((0, 0), (0, T_pad - T), (0, 0)))
+        probs, lens = self._encode(self.variables, jnp.asarray(speech),
+                                   jnp.asarray(speech_lengths, jnp.int32))
+        return np.asarray(probs), np.asarray(lens)
+
+    # ------------------------------------------------------------------ #
+    def init_stream_state(self, batch=1):
+        if self.use_model == "deepspeech2":
+            self.state = self.model.apply(
+                self.variables, method=lambda m: m.init_cache(batch=batch))
+        else:
+            self.state = self.model.apply(
+                self.variables,
+                method=lambda m: m.encoder.init_cache(
+                    batch=batch, cache_size=self.cache_size))
+
+    def predict_chunk(self, x_chunk):
+        """One streaming step. x_chunk: (1, T_win, F) → probs (1, chunk, V)."""
+        if self.state is None:
+            self.init_stream_state(batch=x_chunk.shape[0])
+        probs, self.state = self._chunk_step(
+            self.variables, jnp.asarray(x_chunk, jnp.float32), self.state)
+        return np.asarray(probs)
+
+    def reset_stream(self):
+        self.state = None

@@ -1,0 +1,268 @@
+"""MASRPredictor — the public inference API
+(parity: masr/predict.py — predict / predict_long / predict_stream /
+reset_stream, same streaming window math and result dicts).
+"""
+import io
+import os
+import time
+
+import numpy as np
+
+from masr_tpu.audio import AudioSegment
+from masr_tpu.data.audio_featurizer import AudioFeaturizer
+from masr_tpu.data.text_featurizer import TextFeaturizer
+from masr_tpu.decoders.beam_search import BeamSearchDecoder
+from masr_tpu.decoders.greedy import (GreedyChunkDecoder, greedy_decoder,
+                                      greedy_decoder_batch)
+from masr_tpu.infer.inference_model import InferencePredictor
+from masr_tpu.utils.logger import setup_logger
+
+logger = setup_logger()
+
+# streaming constants (parity: predict.py:282-289)
+DECODING_CHUNK_SIZE = 16
+CONTEXT = 7
+SUBSAMPLING = 4
+CACHED_FEATURE_NUM = CONTEXT - SUBSAMPLING          # 3
+DECODING_WINDOW = (DECODING_CHUNK_SIZE - 1) * SUBSAMPLING + CONTEXT  # 67
+STRIDE = SUBSAMPLING * DECODING_CHUNK_SIZE          # 64
+
+
+def _subsampled_len(t):
+    return ((t - 1) // 2 - 1) // 2
+
+
+class MASRPredictor(object):
+    def __init__(self, model_dir, decoder="ctc_greedy", decoder_configs=None,
+                 use_pun=False, pun_model_dir=None, num_decoding_left_chunks=16,
+                 itn=False, warmup=True):
+        """Args mirror the reference's (predict.py:20-58) minus GPU flags:
+        model_dir is an exported inference bundle directory."""
+        self.model_dir = model_dir
+        self.predictor = InferencePredictor(
+            model_dir=model_dir,
+            num_decoding_left_chunks=num_decoding_left_chunks)
+        meta = self.predictor.meta
+        self.use_model = meta["use_model"]
+        self.streaming = meta["streaming"]
+        pre = dict(meta.get("preprocess_conf") or {})
+        self._audio_featurizer = AudioFeaturizer(train=False, **pre)
+        self._text_featurizer = TextFeaturizer(
+            os.path.join(model_dir, "vocabulary.txt"))
+        self.decoder = decoder
+        decoder_configs = dict(decoder_configs or {})
+        self.beam_search_decoder = None
+        if decoder == "ctc_beam_search":
+            try:
+                self.beam_search_decoder = BeamSearchDecoder(
+                    self._text_featurizer.vocab_list, **decoder_configs)
+            except Exception as e:
+                logger.warning(f"beam search unavailable ({e}); "
+                               f"falling back to greedy decoding")
+                self.decoder = "ctc_greedy"
+        self.pun_predictor = None
+        if use_pun and pun_model_dir:
+            try:
+                from masr_tpu.infer.punctuation import PunctuationPredictor
+                self.pun_predictor = PunctuationPredictor(pun_model_dir)
+            except Exception as e:
+                logger.warning(f"punctuation model unavailable: {e}")
+        self.inv_normalizer = None
+        self._vad = None
+        self.running = False
+        # streaming state
+        self.remained_wav = None
+        self.cached_feat = None
+        self.greedy_chunk_decoder = GreedyChunkDecoder(
+            self._text_featurizer.vocab_list)
+        if warmup:
+            self._warmup()
+
+    def _warmup(self):
+        """Random-audio warmup-as-selftest (predict.py:88-93) — compiles the
+        full-context program (and the chunk program for streaming models)."""
+        warmup_audio = np.random.uniform(low=-2e4, high=2e4,
+                                         size=16000).astype(np.float32) / 32768
+        self.predict(audio_data=warmup_audio, sample_rate=16000)
+        if self.streaming:
+            self.predict_stream(audio_data=warmup_audio[:8000], is_end=True,
+                                sample_rate=16000)
+            self.reset_stream()
+
+    # ------------------------------------------------------------------ #
+    def _load_audio(self, audio_data, sample_rate=16000):
+        """path | bytes | file-like | ndarray → AudioSegment
+        (predict.py:146-164)."""
+        if isinstance(audio_data, str):
+            if not os.path.exists(audio_data):
+                raise FileNotFoundError(f"audio file not found: {audio_data}")
+            return AudioSegment.from_file(audio_data)
+        if isinstance(audio_data, io.BufferedReader):
+            return AudioSegment.from_file(audio_data)
+        if isinstance(audio_data, np.ndarray):
+            return AudioSegment.from_ndarray(audio_data, sample_rate)
+        if isinstance(audio_data, bytes):
+            return AudioSegment.from_bytes(audio_data)
+        raise TypeError(f"unsupported audio_data type: {type(audio_data)}")
+
+    def _decode_result(self, probs, lens, use_pun=False, is_itn=False):
+        """(1, T, V) probs → {'text', 'score'} (predict.py:118-144)."""
+        if self.decoder == "ctc_beam_search" and self.beam_search_decoder:
+            score, text = self.beam_search_decoder.decode_beam_search_offline(
+                probs[0][: int(lens[0])])
+        else:
+            score, text = greedy_decoder(probs[0][: int(lens[0])],
+                                         self._text_featurizer.vocab_list)
+        if use_pun and len(text) > 0 and self.pun_predictor is not None:
+            text = self.pun_predictor(text)
+        if is_itn:
+            text = self.inverse_text_normalization(text)
+        return {"text": text, "score": score}
+
+    # ------------------------------------------------------------------ #
+    def predict(self, audio_data, use_pun=False, is_itn=False,
+                sample_rate=16000):
+        """Short-utterance recognition (predict.py:167-192)."""
+        audio_segment = self._load_audio(audio_data, sample_rate)
+        feats = self._audio_featurizer.featurize(audio_segment)
+        speech = feats[np.newaxis]
+        lens = np.array([feats.shape[0]], np.int64)
+        probs, out_lens = self.predictor.predict(speech, lens)
+        return self._decode_result(probs, out_lens, use_pun, is_itn)
+
+    def predict_batch(self, audio_list, use_pun=False, is_itn=False,
+                      sample_rate=16000):
+        """Batched recognition (used by eval; not in the reference's
+        predictor but matches its evaluate() batch path)."""
+        feats = [self._audio_featurizer.featurize(
+            self._load_audio(a, sample_rate)) for a in audio_list]
+        T = max(f.shape[0] for f in feats)
+        speech = np.zeros((len(feats), T, feats[0].shape[1]), np.float32)
+        lens = np.zeros(len(feats), np.int64)
+        for i, f in enumerate(feats):
+            speech[i, : f.shape[0]] = f
+            lens[i] = f.shape[0]
+        probs, out_lens = self.predictor.predict(speech, lens)
+        results = []
+        for i in range(len(feats)):
+            results.append(self._decode_result(probs[i:i + 1],
+                                               out_lens[i:i + 1],
+                                               use_pun, is_itn))
+        return results
+
+    # ------------------------------------------------------------------ #
+    def predict_long(self, audio_data, use_pun=False, is_itn=False,
+                     sample_rate=16000):
+        """VAD-segmented long-audio recognition (predict.py:195-234)."""
+        if self._vad is None:
+            from masr_tpu.infer.vad import VADPredictor
+            self._vad = VADPredictor()
+        audio_segment = self._load_audio(audio_data, sample_rate)
+        if audio_segment.sample_rate != self._audio_featurizer.sample_rate:
+            audio_segment.resample(self._audio_featurizer.sample_rate)
+        samples = audio_segment.samples
+        sr = audio_segment.sample_rate
+        speech_ts = self._vad.get_speech_timestamps(samples, sr)
+        texts, scores = "", []
+        for ts in speech_ts:
+            seg = samples[ts["start"]: ts["end"]]
+            result = self.predict(seg, use_pun=use_pun, is_itn=is_itn,
+                                  sample_rate=sr)
+            if result["text"]:
+                texts = texts + "，" + result["text"] if texts \
+                    else result["text"]
+                scores.append(result["score"])
+        return {"text": texts,
+                "score": round(float(np.mean(scores)), 2) if scores else 0.0}
+
+    # ------------------------------------------------------------------ #
+    def predict_stream(self, audio_data, is_end=False, use_pun=False,
+                       is_itn=False, channels=1, samp_width=2,
+                       sample_rate=16000):
+        """Streaming recognition (parity: predict.py:237-343 — identical
+        window math: window 67, stride 64, feature cache 3)."""
+        if not self.streaming:
+            raise RuntimeError(
+                f"model {self.use_model} was not exported as streaming")
+        if isinstance(audio_data, np.ndarray):
+            audio_data = AudioSegment.from_ndarray(audio_data, sample_rate)
+        elif isinstance(audio_data, bytes):
+            audio_data = AudioSegment.from_pcm_bytes(
+                audio_data, channels=channels, samp_width=samp_width,
+                sample_rate=sample_rate)
+        else:
+            raise TypeError(f"unsupported audio_data type: {type(audio_data)}")
+        if self.remained_wav is None:
+            self.remained_wav = audio_data
+        else:
+            self.remained_wav = AudioSegment(
+                np.concatenate([self.remained_wav.samples, audio_data.samples]),
+                audio_data.sample_rate)
+
+        x_chunk = self._audio_featurizer.featurize(self.remained_wav)
+        x_chunk = np.asarray(x_chunk, np.float32)[np.newaxis]
+        if self.cached_feat is None:
+            self.cached_feat = x_chunk
+        else:
+            self.cached_feat = np.concatenate([self.cached_feat, x_chunk],
+                                              axis=1)
+        hop = int(self.remained_wav.sample_rate * 0.01)
+        self.remained_wav = AudioSegment(
+            self.remained_wav.samples[hop * x_chunk.shape[1]:],
+            self.remained_wav.sample_rate)
+
+        num_frames = self.cached_feat.shape[1]
+        if num_frames < DECODING_WINDOW and not is_end:
+            return None
+        if num_frames < CONTEXT:
+            return None
+        left_frames = CONTEXT if is_end else DECODING_WINDOW
+
+        score, text, end = None, "", None
+        for cur in range(0, num_frames - left_frames + 1, STRIDE):
+            end = min(cur + DECODING_WINDOW, num_frames)
+            window = self.cached_feat[:, cur:end, :]
+            valid_len = window.shape[1]
+            if valid_len < DECODING_WINDOW:
+                # final partial window: pad to the compiled static shape and
+                # trim the outputs to the valid frame count
+                window = np.pad(window,
+                                ((0, 0), (0, DECODING_WINDOW - valid_len),
+                                 (0, 0)))
+            probs = self.predictor.predict_chunk(window)
+            valid_out = max(_subsampled_len(valid_len), 0)
+            probs = probs[:, :valid_out]
+            if probs.shape[1] == 0:
+                continue
+            if self.decoder == "ctc_beam_search" and self.beam_search_decoder:
+                score, text = self.beam_search_decoder.decode_chunk(probs[0])
+            else:
+                score, text = self.greedy_chunk_decoder.decode_chunk(probs[0])
+        if end is not None:
+            self.cached_feat = self.cached_feat[:, end - CACHED_FEATURE_NUM:, :]
+
+        if use_pun and is_end and text and self.pun_predictor is not None:
+            text = self.pun_predictor(text)
+        if is_itn and text:
+            text = self.inverse_text_normalization(text)
+        return {"text": text, "score": score}
+
+    def reset_stream(self):
+        """(parity: predict.py:346-353)."""
+        self.predictor.reset_stream()
+        self.remained_wav = None
+        self.cached_feat = None
+        self.greedy_chunk_decoder.reset()
+        if self.beam_search_decoder is not None:
+            self.beam_search_decoder.reset_state()
+
+    def inverse_text_normalization(self, text):
+        """Chinese ITN (predict.py:356-362); optional plugin."""
+        if self.inv_normalizer is None:
+            try:
+                from itn.chinese.inverse_normalizer import InverseNormalizer
+                self.inv_normalizer = InverseNormalizer()
+            except ImportError:
+                from masr_tpu.infer.itn import SimpleInverseNormalizer
+                self.inv_normalizer = SimpleInverseNormalizer()
+        return self.inv_normalizer.normalize(text)

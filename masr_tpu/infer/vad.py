@@ -1,0 +1,168 @@
+"""Voice activity detection (parity with the reference's
+masr/infer_utils/vad_predictor.py API: get_speech_timestamps + stream_vad).
+
+The reference wraps a silero ONNX LSTM via onnxruntime (not available in
+this image); this is a native adaptive energy + spectral-flatness detector
+with the same hysteresis / minimum-duration / padding / merging semantics
+(vad_predictor.py:106-213): 512-sample windows @16 kHz, speech prob with
+threshold 0.5, neg_threshold = threshold - 0.15, min speech 250 ms, min
+silence 100 ms, 30 ms pad.
+"""
+import numpy as np
+
+
+class VADPredictor(object):
+    def __init__(self, threshold=0.5, sampling_rate=16000,
+                 window_size_samples=512):
+        self.threshold = threshold
+        self.sampling_rate = sampling_rate
+        self.window_size_samples = window_size_samples
+        self.reset_states()
+
+    # ------------------------------------------------------------------ #
+    # frame-level speech probability
+    # ------------------------------------------------------------------ #
+    def _frame_features(self, wav):
+        """→ (rms_db (N,), flatness (N,)) per 512-sample window."""
+        n = len(wav) // self.window_size_samples
+        if n == 0:
+            return np.zeros(0), np.zeros(0)
+        frames = wav[: n * self.window_size_samples].reshape(
+            n, self.window_size_samples)
+        rms = np.sqrt(np.mean(frames ** 2, axis=1) + 1e-12)
+        rms_db = 20 * np.log10(rms + 1e-12)
+        spec = np.abs(np.fft.rfft(frames, axis=1)) + 1e-12
+        # spectral flatness: geometric/arithmetic mean; noise ≈ 1, voice « 1
+        flat = np.exp(np.mean(np.log(spec), axis=1)) / np.mean(spec, axis=1)
+        return rms_db, flat
+
+    def _speech_probs(self, wav):
+        rms_db, flat = self._frame_features(wav)
+        if len(rms_db) == 0:
+            return np.zeros(0)
+        # adaptive noise floor: 15th percentile of frame energy
+        floor = np.percentile(rms_db, 15)
+        snr = rms_db - floor  # dB above noise floor
+        p_energy = 1.0 / (1.0 + np.exp(-(snr - 9.0) / 3.0))
+        p_tonal = 1.0 / (1.0 + np.exp((flat - 0.5) / 0.1))
+        return 0.7 * p_energy + 0.3 * p_tonal
+
+    # ------------------------------------------------------------------ #
+    # offline segmentation (vad_predictor.py:106-175 semantics)
+    # ------------------------------------------------------------------ #
+    def get_speech_timestamps(self, wav, sampling_rate=None,
+                              min_speech_duration_ms=250,
+                              max_speech_duration_s=float("inf"),
+                              min_silence_duration_ms=100,
+                              speech_pad_ms=30):
+        sr = sampling_rate or self.sampling_rate
+        wav = np.asarray(wav, dtype=np.float32)
+        win = self.window_size_samples
+        probs = self._speech_probs(wav)
+        threshold = self.threshold
+        neg_threshold = threshold - 0.15
+        min_speech = sr * min_speech_duration_ms / 1000
+        min_silence = sr * min_silence_duration_ms / 1000
+        pad = int(sr * speech_pad_ms / 1000)
+        max_speech = (sr * max_speech_duration_s - win - 2 * pad
+                      if max_speech_duration_s < float("inf") else float("inf"))
+
+        triggered = False
+        speeches = []
+        current = {}
+        temp_end = 0
+        for i, p in enumerate(probs):
+            pos = win * i
+            if p >= threshold and temp_end:
+                temp_end = 0
+            if p >= threshold and not triggered:
+                triggered = True
+                current["start"] = pos
+                continue
+            if triggered and pos - current["start"] > max_speech:
+                current["end"] = pos
+                speeches.append(current)
+                current = {}
+                triggered = False
+                temp_end = 0
+                continue
+            if p < neg_threshold and triggered:
+                if not temp_end:
+                    temp_end = pos
+                if pos - temp_end < min_silence:
+                    continue
+                current["end"] = temp_end
+                if current["end"] - current["start"] > min_speech:
+                    speeches.append(current)
+                current = {}
+                triggered = False
+                temp_end = 0
+        if triggered and len(wav) - current["start"] > min_speech:
+            current["end"] = len(wav)
+            speeches.append(current)
+
+        # pad and merge (vad_predictor.py:158-172)
+        for i, sp in enumerate(speeches):
+            if i == 0:
+                sp["start"] = int(max(0, sp["start"] - pad))
+            if i != len(speeches) - 1:
+                gap = speeches[i + 1]["start"] - sp["end"]
+                if gap < 2 * pad:
+                    sp["end"] += gap // 2
+                    speeches[i + 1]["start"] = int(
+                        max(0, speeches[i + 1]["start"] - gap // 2))
+                else:
+                    sp["end"] = int(min(len(wav), sp["end"] + pad))
+                    speeches[i + 1]["start"] = int(
+                        max(0, speeches[i + 1]["start"] - pad))
+            else:
+                sp["end"] = int(min(len(wav), sp["end"] + pad))
+        return speeches
+
+    # ------------------------------------------------------------------ #
+    # streaming start/end events (vad_predictor.py:177-213 semantics)
+    # ------------------------------------------------------------------ #
+    def reset_states(self):
+        self._stream_buf = np.zeros(0, dtype=np.float32)
+        self._stream_pos = 0
+        self._triggered = False
+        self._temp_end = 0
+        self._noise_floor = None
+
+    def stream_vad(self, chunk, sampling_rate=None,
+                   min_silence_duration_ms=100, speech_pad_ms=30):
+        """Feed samples incrementally; yields {'start': n} / {'end': n} events."""
+        sr = sampling_rate or self.sampling_rate
+        win = self.window_size_samples
+        pad = int(sr * speech_pad_ms / 1000)
+        min_silence = sr * min_silence_duration_ms / 1000
+        self._stream_buf = np.concatenate(
+            [self._stream_buf, np.asarray(chunk, np.float32)])
+        events = []
+        while len(self._stream_buf) >= win:
+            frame = self._stream_buf[:win]
+            self._stream_buf = self._stream_buf[win:]
+            pos = self._stream_pos
+            self._stream_pos += win
+            rms_db = 20 * np.log10(np.sqrt(np.mean(frame ** 2) + 1e-12) + 1e-12)
+            if self._noise_floor is None:
+                self._noise_floor = rms_db
+            # slow noise-floor tracker (rises slowly, falls fast)
+            if rms_db < self._noise_floor:
+                self._noise_floor += 0.3 * (rms_db - self._noise_floor)
+            else:
+                self._noise_floor += 0.02 * (rms_db - self._noise_floor)
+            p = 1.0 / (1.0 + np.exp(-((rms_db - self._noise_floor) - 9.0) / 3.0))
+            if p >= self.threshold and self._temp_end:
+                self._temp_end = 0
+            if p >= self.threshold and not self._triggered:
+                self._triggered = True
+                events.append({"start": int(max(0, pos - pad))})
+            elif p < self.threshold - 0.15 and self._triggered:
+                if not self._temp_end:
+                    self._temp_end = pos
+                if pos - self._temp_end >= min_silence:
+                    events.append({"end": int(self._temp_end + pad)})
+                    self._triggered = False
+                    self._temp_end = 0
+        return events

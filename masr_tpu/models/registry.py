@@ -10,11 +10,10 @@ from masr_tpu.models.cmvn import GlobalCMVN
 def build_model(use_model: str, input_dim: int, vocab_size: int,
                 mean_istd_path: Optional[str] = None, streaming: bool = True,
                 encoder_conf=None, decoder_conf=None, model_conf=None,
-                dtype=jnp.float32):
+                dtype=jnp.float32, cmvn=None):
     """Construct a model module by name. model_conf carries
     ctc_weight/lsm_weight/reverse_weight/length_normalized_loss."""
-    cmvn = None
-    if mean_istd_path is not None:
+    if cmvn is None and mean_istd_path is not None:
         from masr_tpu.data.normalizer import FeatureNormalizer
         norm = FeatureNormalizer(mean_istd_path)
         cmvn = GlobalCMVN(norm.mean, norm.istd)

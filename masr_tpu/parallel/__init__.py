@@ -1,0 +1,2 @@
+from masr_tpu.parallel.mesh import (make_mesh, shard_batch, replicate,
+                                    data_parallel_shardings)

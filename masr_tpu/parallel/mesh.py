@@ -1,0 +1,59 @@
+"""Device mesh + sharding helpers — the TPU-native replacement for the
+reference's NCCL/DDP layer (trainer.py:522-542, SURVEY.md §5.8).
+
+Data parallelism: a 1-D Mesh over all devices (ICI within a slice, DCN
+across), params replicated, the batch sharded on its leading axis. Gradient
+averaging needs no explicit collective — XLA inserts the psum when the
+jitted loss reduces over a sharded batch axis.
+
+`jax.distributed.initialize()` is called lazily for multi-host runs (env
+driven, mirrors torchrun's LOCAL_RANK contract).
+"""
+import os
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def maybe_init_distributed():
+    """Multi-host init when launched under a JAX cluster env. Single-host
+    (or already-initialized) runs are a no-op."""
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or \
+            os.environ.get("COORDINATOR_ADDRESS"):
+        try:
+            jax.distributed.initialize()
+        except RuntimeError:
+            pass  # already initialized
+
+
+def make_mesh(devices=None, axis_name="data"):
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def data_parallel_shardings(mesh, axis_name="data"):
+    """→ (replicated_sharding, batch_sharding)."""
+    return (NamedSharding(mesh, P()), NamedSharding(mesh, P(axis_name)))
+
+
+def shard_batch(batch, mesh, axis_name="data"):
+    """Place a host batch dict onto the mesh, sharded on the leading axis.
+    Pads the batch to a multiple of the mesh size if needed (padded rows get
+    zero lengths so they contribute nothing to the loss)."""
+    n = mesh.devices.size
+    sharding = NamedSharding(mesh, P(axis_name))
+
+    def put(x):
+        x = np.asarray(x)
+        B = x.shape[0]
+        if B % n:
+            pad = n - B % n
+            x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+        return jax.device_put(x, sharding)
+
+    return jax.tree.map(put, batch)
+
+
+def replicate(tree, mesh):
+    return jax.device_put(tree, NamedSharding(mesh, P()))

@@ -1,0 +1,92 @@
+"""Train state + jitted step factory.
+
+The train step is a pure function jitted once per bucketed batch shape:
+loss → grads → (global-mean via sharded batch) → clip → optimizer. Gradient
+accumulation (accum_grad) is inside the optax chain (MultiSteps), matching
+the reference's accum_grad + DDP no_sync semantics (trainer.py:372-384).
+Non-finite losses skip the update (trainer.py:393-395).
+"""
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    apply_fn: Any = struct.field(pytree_node=False)
+    batch_stats: Any = None
+
+    @classmethod
+    def create(cls, apply_fn, params, tx, batch_stats=None):
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   opt_state=tx.init(params), batch_stats=batch_stats,
+                   tx=tx, apply_fn=apply_fn)
+
+
+def make_train_step(model, tx):
+    """→ jit-able train_step(state, batch, rng) → (state, metrics)."""
+
+    def loss_fn(params, batch_stats, batch, rng):
+        variables = {"params": params}
+        mutable = []
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+            mutable = ["batch_stats"]
+        d_rng, c_rng = jax.random.split(rng)
+        kwargs = {"mutable": mutable} if mutable else {}
+        out = model.apply(variables, batch["inputs"], batch["input_lens"],
+                          batch["labels"], batch["label_lens"], train=True,
+                          rngs={"dropout": d_rng, "chunk": c_rng}, **kwargs)
+        if mutable:
+            out, updates = out
+            new_stats = updates.get("batch_stats", batch_stats)
+        else:
+            new_stats = batch_stats
+        return out["loss"], (out, new_stats)
+
+    def train_step(state, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (out, new_stats)), grads = grad_fn(
+            state.params, state.batch_stats, batch, rng)
+        finite = jnp.isfinite(loss)
+        grads = jax.tree.map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
+        updates, new_opt_state = state.tx.update(grads, state.opt_state,
+                                                 state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        # skip the whole update on non-finite loss
+        new_params = jax.tree.map(
+            lambda n, o: jnp.where(finite, n, o), new_params, state.params)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  opt_state=new_opt_state,
+                                  batch_stats=new_stats)
+        metrics = {"loss": out["loss"], "loss_att": out["loss_att"],
+                   "loss_ctc": out["loss_ctc"], "acc_att": out["acc_att"],
+                   "finite": finite}
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model):
+    def eval_step(params_vars, batch):
+        # dynamic-chunk models draw a chunk size even for the eval loss
+        # (the reference keeps random chunks at eval, mask.py:106-133);
+        # a fixed key makes eval deterministic.
+        out = model.apply(params_vars, batch["inputs"], batch["input_lens"],
+                          batch["labels"], batch["label_lens"], train=False,
+                          rngs={"chunk": jax.random.PRNGKey(0)})
+        probs, lens = model.apply(params_vars, batch["inputs"],
+                                  batch["input_lens"],
+                                  method=type(model).get_encoder_out)
+        return out["loss"], probs, lens
+
+    return eval_step

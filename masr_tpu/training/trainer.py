@@ -1,0 +1,405 @@
+"""MASRTrainer — the training facade
+(parity: masr/trainer.py:38-697 — create_data / train / evaluate / export /
+extract_features with the same config schema and checkpoint semantics).
+
+TPU-native: a 1-D data mesh over all devices (SURVEY.md §5.8), params
+replicated and the batch sharded on its leading axis — XLA inserts the
+gradient all-reduce; grad accumulation via optax.MultiSteps; orbax
+checkpoints with last/best/epoch retention; JSONL scalar logging.
+"""
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from masr_tpu.data.audio_featurizer import AudioFeaturizer
+from masr_tpu.data.collate import collate_fn
+from masr_tpu.data.dataset import MASRDataset
+from masr_tpu.data.loader import DataLoader
+from masr_tpu.data.manifest import (build_vocab, create_manifest,
+                                    create_noise_manifest, read_manifest)
+from masr_tpu.data.normalizer import FeatureNormalizer
+from masr_tpu.data.sampler import BatchShuffleSampler, ShardedBatchSampler
+from masr_tpu.data.text_featurizer import TextFeaturizer
+from masr_tpu.decoders.greedy import greedy_decoder_batch
+from masr_tpu.models.registry import build_model
+from masr_tpu.optimizer.schedulers import build_optimizer
+from masr_tpu.parallel.mesh import (make_mesh, maybe_init_distributed,
+                                    replicate, shard_batch)
+from masr_tpu.training import checkpoints as ckpt
+from masr_tpu.training.logging_util import ScalarWriter
+from masr_tpu.training.train_state import (TrainState, make_eval_step,
+                                           make_train_step)
+from masr_tpu.utils.config import dict_to_object, load_config, print_arguments
+from masr_tpu.utils.logger import setup_logger
+from masr_tpu.utils.metrics import cer, wer
+
+logger = setup_logger()
+
+
+class MASRTrainer(object):
+    def __init__(self, configs, use_gpu=True, overwrites=None):
+        """configs: YAML path or dict (same schema as the reference,
+        SURVEY.md §5.6). use_gpu is accepted for API parity; device
+        selection is JAX's (TPU when present)."""
+        if isinstance(configs, str):
+            configs = load_config(configs)
+        self.configs = dict_to_object(configs) if isinstance(configs, dict) \
+            else configs
+        if overwrites:
+            for kv in overwrites.split(","):
+                k, v = kv.strip().split("=", 1)
+                node = self.configs
+                keys = k.split(".")
+                for kk in keys[:-1]:
+                    node = node[kk]
+                node[keys[-1]] = yaml_value(v)
+        self.use_model = self.configs.use_model
+        self.streaming = bool(self.configs.get("streaming", True))
+        self.stop_train = False
+        self.stop_eval = False
+        self.model = None
+        self.state = None
+        import masr_tpu
+        masr_tpu.enable_compilation_cache()
+        maybe_init_distributed()
+        self.mesh = make_mesh()
+        self.rank = jax.process_index()
+        self.num_hosts = jax.process_count()
+
+    # ------------------------------------------------------------------ #
+    # data
+    # ------------------------------------------------------------------ #
+    def create_data(self, annotation_path="dataset/annotation/",
+                    noise_dir="dataset/audio/noise",
+                    num_samples=1000000, count_threshold=2,
+                    is_change_frame_rate=True, max_test_manifest=10000,
+                    only_keep_zh_en=True):
+        """Manifests → noise manifest → vocab → CMVN stats (trainer.py:429-505)."""
+        d = self.configs.dataset_conf
+        create_manifest(annotation_path, d.train_manifest, d.test_manifest,
+                        is_change_frame_rate=is_change_frame_rate,
+                        target_sr=self.configs.preprocess_conf.sample_rate,
+                        only_keep_zh_en=only_keep_zh_en,
+                        max_test_manifest=max_test_manifest)
+        if noise_dir and d.get("noise_manifest_path"):
+            create_noise_manifest(noise_dir, d.noise_manifest_path)
+        build_vocab(d.dataset_vocab, [d.train_manifest, d.test_manifest],
+                    count_threshold=count_threshold)
+        featurizer = AudioFeaturizer(train=False, **self.configs.preprocess_conf)
+        normalizer = FeatureNormalizer()
+        normalizer.compute_mean_istd(d.train_manifest, featurizer,
+                                     d.mean_istd_path,
+                                     num_samples=num_samples)
+        if d.get("manifest_type") == "binary":
+            from masr_tpu.data.binary import create_manifest_binary
+            create_manifest_binary(d.train_manifest, d.test_manifest)
+
+    def extract_features(self, save_dir="dataset/features", max_duration=100,
+                         batch_size=500):
+        """Pre-dump features to pooled .npy slabs and rewrite manifests with
+        start_frame/end_frame entries (trainer.py:123-165)."""
+        d = self.configs.dataset_conf
+        os.makedirs(save_dir, exist_ok=True)
+        for manifest_path in [d.train_manifest, d.test_manifest]:
+            ds = MASRDataset(self.configs.preprocess_conf, manifest_path,
+                             vocab_filepath=None, train=False,
+                             min_duration=0, max_duration=max_duration)
+            out_entries = []
+            slab, offsets = [], 0
+            slab_idx = 0
+            base = os.path.basename(manifest_path)
+            for i in range(len(ds)):
+                feats, _ = ds[i]
+                entry = dict(ds.entries[i])
+                out_entries.append({
+                    "audio_filepath": os.path.join(
+                        save_dir, f"{base}_{slab_idx}.npy"),
+                    "duration": entry["duration"], "text": entry["text"],
+                    "start_frame": offsets,
+                    "end_frame": offsets + feats.shape[0]})
+                slab.append(feats)
+                offsets += feats.shape[0]
+                if len(slab) >= batch_size:
+                    np.save(os.path.join(save_dir, f"{base}_{slab_idx}.npy"),
+                            np.concatenate(slab, axis=0))
+                    slab, offsets, slab_idx = [], 0, slab_idx + 1
+            if slab:
+                np.save(os.path.join(save_dir, f"{base}_{slab_idx}.npy"),
+                        np.concatenate(slab, axis=0))
+            out_path = manifest_path + ".feature"
+            with open(out_path, "w", encoding="utf-8") as f:
+                for e in out_entries:
+                    f.write(json.dumps(e, ensure_ascii=False) + "\n")
+            logger.info(f"features extracted: {out_path}")
+
+    def _setup_dataloader(self, is_train, augment_conf_path=None):
+        d = self.configs.dataset_conf
+        pre = self.configs.preprocess_conf
+        aug = "{}"
+        if is_train and augment_conf_path and os.path.exists(augment_conf_path):
+            aug = augment_conf_path
+        manifest = d.train_manifest if is_train else d.test_manifest
+        if d.get("manifest_type") == "binary":
+            manifest = manifest + ".data" if not manifest.endswith(".data") \
+                else manifest
+        dataset = MASRDataset(
+            pre, manifest, d.dataset_vocab,
+            manifest_type=d.get("manifest_type", "txt"),
+            min_duration=d.get("min_duration", 0),
+            max_duration=d.get("max_duration", 20) if is_train else -1,
+            augmentation_config=aug, train=is_train)
+        batch_size = d.batch_size
+        if is_train:
+            sampler = ShardedBatchSampler(
+                len(dataset), batch_size, rank=self.rank,
+                num_replicas=self.num_hosts, sortagrad=True, drop_last=True,
+                seed=self.configs.get("seed", 0)) if self.num_hosts > 1 else \
+                BatchShuffleSampler(len(dataset), batch_size, sortagrad=True,
+                                    drop_last=True,
+                                    seed=self.configs.get("seed", 0))
+        else:
+            sampler = BatchShuffleSampler(len(dataset), batch_size,
+                                          shuffle=False, drop_last=False)
+        loader = DataLoader(dataset, sampler,
+                            num_workers=d.get("num_workers", 4))
+        return dataset, sampler, loader
+
+    # ------------------------------------------------------------------ #
+    # model
+    # ------------------------------------------------------------------ #
+    def _setup_model(self, input_dim, vocab_size, is_train=False):
+        d = self.configs.dataset_conf
+        self.model = build_model(
+            self.use_model, input_dim, vocab_size,
+            mean_istd_path=d.mean_istd_path, streaming=self.streaming,
+            encoder_conf=self.configs.get("encoder_conf"),
+            decoder_conf=self.configs.get("decoder_conf"),
+            model_conf=self.configs.get("model_conf"))
+        rng = jax.random.PRNGKey(self.configs.get("seed", 0))
+        L = self.configs.dataset_conf.get("init_label_len", 8)
+        dummy = (jnp.zeros((2, 160, input_dim)), jnp.asarray([160, 160]),
+                 jnp.zeros((2, L), jnp.int32), jnp.asarray([L, L]))
+        variables = jax.jit(self.model.init, static_argnames=("train",))(
+            {"params": rng, "dropout": rng, "chunk": rng}, *dummy, train=True)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats")
+        if is_train:
+            t = self.configs.train_conf
+            tx, self.lr_schedule = build_optimizer(
+                self.configs.optimizer_conf,
+                grad_clip=t.get("grad_clip", 5.0),
+                accum_grad=t.get("accum_grad", 1))
+            self.state = TrainState.create(self.model.apply, params, tx,
+                                           batch_stats)
+        else:
+            self.state = None
+            self.variables = variables
+        return variables
+
+    def _variables(self):
+        v = {"params": self.state.params} if self.state is not None \
+            else dict(self.variables)
+        if self.state is not None and self.state.batch_stats is not None:
+            v["batch_stats"] = self.state.batch_stats
+        return v
+
+    def _state_pytree(self):
+        return {"params": self.state.params,
+                "opt_state": self.state.opt_state,
+                "batch_stats": self.state.batch_stats,
+                "step": self.state.step}
+
+    # ------------------------------------------------------------------ #
+    # train
+    # ------------------------------------------------------------------ #
+    def train(self, save_model_path="models/", resume_model=None,
+              pretrained_model=None, augment_conf_path="configs/augmentation.json"):
+        t_conf = self.configs.train_conf
+        dataset, sampler, loader = self._setup_dataloader(
+            True, augment_conf_path)
+        test_dataset, _, test_loader = self._setup_dataloader(False)
+        input_dim = dataset.feature_dim
+        vocab_size = dataset.vocab_size
+        self._setup_model(input_dim, vocab_size, is_train=True)
+        save_dir = os.path.join(
+            save_model_path,
+            f"{self.use_model}_{'streaming' if self.streaming else 'non-streaming'}"
+            f"_{self.configs.preprocess_conf.feature_method}")
+
+        last_epoch = 0
+        best_error = float("inf")
+        # auto-resume (trainer.py:266-292)
+        resume = resume_model or ckpt.latest_checkpoint(save_dir)
+        if resume:
+            restored, meta = ckpt.load_checkpoint(resume, self._state_pytree())
+            self.state = self.state.replace(
+                params=restored["params"], opt_state=restored["opt_state"],
+                batch_stats=restored.get("batch_stats"),
+                step=restored["step"])
+            last_epoch = int(meta.get("last_epoch", 0))
+            best_error = float(meta.get("test_cer", meta.get(
+                "test_wer", float("inf"))) or float("inf"))
+            logger.info(f"resumed from {resume} at epoch {last_epoch}")
+        elif pretrained_model:
+            params = ckpt.load_pretrained(self.state.params, pretrained_model,
+                                          self._state_pytree())
+            self.state = self.state.replace(params=params)
+            logger.info(f"loaded pretrained weights from {pretrained_model}")
+
+        self.state = replicate(self.state, self.mesh)
+        train_step = jax.jit(make_train_step(self.model, self.state.tx),
+                             donate_argnums=(0,))
+        rng = jax.random.PRNGKey(self.configs.get("seed", 0))
+        writer = ScalarWriter(self.configs.get("log_dir", "log")) \
+            if self.rank == 0 else None
+        max_epoch = t_conf.max_epoch
+        log_interval = t_conf.get("log_interval", 100)
+        accum = t_conf.get("accum_grad", 1)
+
+        for epoch in range(last_epoch, max_epoch):
+            sampler.set_epoch(epoch)
+            epoch_start = time.time()
+            batch_start = time.time()
+            losses = []
+            for batch_id, batch in enumerate(loader):
+                if self.stop_train:
+                    logger.warning("training stopped by stop_train flag")
+                    return
+                reader_cost = time.time() - batch_start
+                sharded = shard_batch(batch, self.mesh)
+                self.state, metrics = train_step(self.state, sharded, rng)
+                loss = float(metrics["loss"])
+                losses.append(loss)
+                batch_cost = time.time() - batch_start
+                if batch_id % log_interval == 0 and self.rank == 0:
+                    step = int(self.state.step)
+                    lr = float(self.lr_schedule(step // max(accum, 1)))
+                    ips = batch["inputs"].shape[0] / max(batch_cost, 1e-9)
+                    eta_batches = (len(loader) - batch_id) + \
+                        (max_epoch - epoch - 1) * len(loader)
+                    eta = int(eta_batches * batch_cost)
+                    logger.info(
+                        f"epoch [{epoch + 1}/{max_epoch}] "
+                        f"batch [{batch_id}/{len(loader)}] loss {loss:.4f} "
+                        f"lr {lr:.8f} reader_cost {reader_cost:.3f}s "
+                        f"batch_cost {batch_cost:.3f}s ips {ips:.1f} "
+                        f"eta {eta}s")
+                    if writer:
+                        writer.add_scalar("Train/Loss", loss, step)
+                        writer.add_scalar("Train/lr", lr, step)
+                batch_start = time.time()
+            logger.info(f"epoch {epoch + 1} finished in "
+                        f"{time.time() - epoch_start:.1f}s, "
+                        f"mean loss {np.mean(losses):.4f}")
+            if self.rank == 0:
+                error, test_loss = self._evaluate_loader(
+                    test_loader, test_dataset)
+                metric_name = self.configs.get("metrics_type", "cer")
+                logger.info(f"epoch {epoch + 1}: test {metric_name}={error:.5f} "
+                            f"loss={test_loss:.4f}")
+                if writer:
+                    writer.add_scalar(f"Test/{metric_name}", error,
+                                      int(self.state.step))
+                    writer.add_scalar("Test/Loss", test_loss,
+                                      int(self.state.step))
+                is_best = error <= best_error
+                best_error = min(error, best_error)
+                ckpt.save_checkpoint(
+                    save_dir, epoch + 1,
+                    jax.device_get(self._state_pytree()),
+                    metrics={"last_epoch": epoch + 1,
+                             f"test_{metric_name}": error,
+                             "test_loss": float(test_loss)},
+                    best=is_best)
+        if writer:
+            writer.close()
+
+    # ------------------------------------------------------------------ #
+    # evaluate
+    # ------------------------------------------------------------------ #
+    def _evaluate_loader(self, loader, dataset, display_result=False):
+        eval_step = jax.jit(make_eval_step(self.model))
+        variables = self._variables()
+        vocab_list = dataset.vocab_list
+        tf = TextFeaturizer(self.configs.dataset_conf.dataset_vocab)
+        metric = self.configs.get("metrics_type", "cer")
+        errors, losses = [], []
+        for batch in loader:
+            if self.stop_eval:
+                break
+            sharded = {k: jnp.asarray(v) for k, v in batch.items()}
+            loss, probs, lens = eval_step(variables, sharded)
+            losses.append(float(loss))
+            results = greedy_decoder_batch(np.asarray(probs), vocab_list,
+                                           lens=np.asarray(lens))
+            for i, (score, text) in enumerate(results):
+                L = batch["label_lens"][i]
+                target = tf.detokenize(batch["labels"][i][:L])
+                if len(target) == 0:
+                    continue
+                e = cer(target, text) if metric == "cer" else wer(target, text)
+                errors.append(e)
+                if display_result:
+                    logger.info(f"ref: {target} | hyp: {text} | {metric}={e:.4f}")
+        return (float(np.mean(errors)) if errors else 1.0,
+                float(np.mean(losses)) if losses else 0.0)
+
+    def evaluate(self, resume_model="models/best_model", display_result=False):
+        dataset, _, loader = self._setup_dataloader(False)
+        if self.model is None:
+            self._setup_model(dataset.feature_dim, dataset.vocab_size,
+                              is_train=True)
+        if resume_model and os.path.exists(resume_model):
+            restored, _ = ckpt.load_checkpoint(resume_model,
+                                               self._state_pytree())
+            self.state = self.state.replace(
+                params=restored["params"],
+                batch_stats=restored.get("batch_stats"))
+            logger.info(f"loaded model from {resume_model}")
+        start = time.time()
+        error, loss = self._evaluate_loader(loader, dataset, display_result)
+        logger.info(f"evaluate done in {time.time() - start:.1f}s")
+        return error, loss
+
+    # ------------------------------------------------------------------ #
+    # export
+    # ------------------------------------------------------------------ #
+    def export(self, save_model_path="models/",
+               resume_model="models/best_model"):
+        """Checkpoint → inference bundle (trainer.py:653-697)."""
+        from masr_tpu.infer.bundle import save_inference_bundle
+        d = self.configs.dataset_conf
+        featurizer = AudioFeaturizer(train=False,
+                                     **self.configs.preprocess_conf)
+        tf = TextFeaturizer(d.dataset_vocab)
+        if self.model is None:
+            self._setup_model(featurizer.feature_dim, tf.vocab_size,
+                              is_train=True)
+        restored, _ = ckpt.load_checkpoint(resume_model, self._state_pytree())
+        variables = {"params": restored["params"]}
+        if restored.get("batch_stats") is not None:
+            variables["batch_stats"] = restored["batch_stats"]
+        norm = FeatureNormalizer(d.mean_istd_path)
+        out_dir = os.path.join(
+            save_model_path,
+            f"{self.use_model}_{'streaming' if self.streaming else 'non-streaming'}"
+            f"_{self.configs.preprocess_conf.feature_method}",
+            "inference_model")
+        save_inference_bundle(
+            out_dir, self.use_model, self.streaming, featurizer.feature_dim,
+            tf.vocab_list, norm.mean, norm.istd,
+            self.configs.get("encoder_conf"), self.configs.get("decoder_conf"),
+            self.configs.get("model_conf"), self.configs.preprocess_conf,
+            jax.device_get(variables))
+        logger.info(f"inference bundle exported to {out_dir}")
+        return out_dir
+
+
+def yaml_value(v):
+    import yaml as _yaml
+    return _yaml.safe_load(v)

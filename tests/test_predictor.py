@@ -1,0 +1,135 @@
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from masr_tpu.infer.bundle import save_inference_bundle, load_inference_bundle
+
+FEAT = 80
+VOCAB_TOKENS = ["<blank>", "<unk>", "你", "好", "天", "气", "<space>", "<eos>"]
+
+
+@pytest.fixture(scope="module")
+def bundle_dir(tmp_path_factory):
+    """Export a tiny random streaming conformer bundle."""
+    import jax.numpy as jnp
+    from masr_tpu.models.registry import build_model
+    from masr_tpu.models.cmvn import GlobalCMVN
+    out = tmp_path_factory.mktemp("bundle")
+    enc_conf = dict(output_size=32, attention_heads=2, linear_units=64,
+                    num_blocks=2, cnn_module_kernel=7)
+    dec_conf = dict(linear_units=32, num_blocks=1, r_num_blocks=0)
+    model_conf = dict(ctc_weight=0.5, lsm_weight=0.1)
+    model = build_model("conformer", FEAT, len(VOCAB_TOKENS), streaming=True,
+                        encoder_conf=enc_conf, decoder_conf=dec_conf,
+                        model_conf=model_conf,
+                        cmvn=GlobalCMVN(np.zeros(FEAT), np.ones(FEAT)))
+    rng = jax.random.PRNGKey(0)
+    speech = jnp.zeros((1, 67, FEAT))
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": rng, "dropout": rng, "chunk": rng},
+        speech, jnp.asarray([67]), jnp.zeros((1, 4), jnp.int32),
+        jnp.asarray([4]), train=False)
+    save_inference_bundle(
+        str(out), "conformer", True, FEAT, VOCAB_TOKENS,
+        np.zeros(FEAT), np.ones(FEAT), enc_conf, dec_conf, model_conf,
+        {"feature_method": "fbank", "n_mels": FEAT}, variables)
+    return str(out)
+
+
+def test_bundle_roundtrip(bundle_dir):
+    model, variables, meta, vocab = load_inference_bundle(bundle_dir)
+    assert meta["use_model"] == "conformer"
+    assert vocab == VOCAB_TOKENS
+    assert "params" in variables
+
+
+@pytest.fixture(scope="module")
+def predictor(bundle_dir):
+    from masr_tpu.infer.predictor import MASRPredictor
+    return MASRPredictor(bundle_dir, decoder="ctc_greedy", warmup=False)
+
+
+def test_predict_returns_result(predictor, test_wav_path):
+    result = predictor.predict(test_wav_path)
+    assert set(result) == {"text", "score"}
+    assert isinstance(result["text"], str)
+
+
+def test_predict_accepts_ndarray_and_bytes(predictor, test_wav_path):
+    from masr_tpu.audio import AudioSegment
+    seg = AudioSegment.from_file(test_wav_path)
+    r1 = predictor.predict(seg.samples, sample_rate=seg.sample_rate)
+    raw = open(test_wav_path, "rb").read()
+    r2 = predictor.predict(raw)
+    assert r1["text"] == r2["text"]
+
+
+def test_predict_stream_and_chunking_consistency(predictor, test_wav_path):
+    from masr_tpu.audio import AudioSegment
+    seg = AudioSegment.from_file(test_wav_path)
+    samples = seg.samples
+
+    # feed in one shot
+    r_one = predictor.predict_stream(samples, is_end=True,
+                                     sample_rate=seg.sample_rate)
+    predictor.reset_stream()
+
+    # feed in 0.2 s pieces
+    r_inc = None
+    step = 3200
+    for i in range(0, len(samples), step):
+        is_end = i + step >= len(samples)
+        out = predictor.predict_stream(samples[i:i + step], is_end=is_end,
+                                       sample_rate=seg.sample_rate)
+        if out is not None:
+            r_inc = out
+    predictor.reset_stream()
+    assert r_one is not None and r_inc is not None
+    assert r_one["text"] == r_inc["text"]
+
+
+def test_predict_long_runs(predictor, test_wav_path):
+    result = predictor.predict_long(test_wav_path)
+    assert set(result) == {"text", "score"}
+
+
+def test_reset_stream_isolates_utterances(predictor, test_wav_path):
+    from masr_tpu.audio import AudioSegment
+    seg = AudioSegment.from_file(test_wav_path)
+    r1 = predictor.predict_stream(seg.samples, is_end=True,
+                                  sample_rate=seg.sample_rate)
+    predictor.reset_stream()
+    r2 = predictor.predict_stream(seg.samples, is_end=True,
+                                  sample_rate=seg.sample_rate)
+    predictor.reset_stream()
+    assert r1["text"] == r2["text"]
+
+
+def test_vad_detects_speech_and_silence():
+    from masr_tpu.infer.vad import VADPredictor
+    rs = np.random.RandomState(0)
+    sr = 16000
+    silence = rs.standard_normal(sr) * 0.001
+    t = np.arange(sr) / sr
+    speech = (np.sin(2 * np.pi * 220 * t) + np.sin(2 * np.pi * 440 * t)) * 0.3 \
+        * (0.6 + 0.4 * np.sin(2 * np.pi * 3 * t))  # modulated tone ≈ voiced
+    wav = np.concatenate([silence, speech, silence]).astype(np.float32)
+    vad = VADPredictor()
+    ts = vad.get_speech_timestamps(wav, sr)
+    assert len(ts) >= 1
+    s, e = ts[0]["start"], ts[-1]["end"]
+    assert abs(s - sr) < sr * 0.25          # starts near 1.0 s
+    assert abs(e - 2 * sr) < sr * 0.25      # ends near 2.0 s
+
+
+def test_itn_numbers():
+    from masr_tpu.infer.itn import SimpleInverseNormalizer
+    itn = SimpleInverseNormalizer()
+    assert itn.normalize("三百二十五") == "325"
+    assert itn.normalize("一万零二十") == "10020"
+    assert itn.normalize("三点一四") == "3.14"
+    assert itn.normalize("你好") == "你好"

@@ -1,0 +1,122 @@
+"""End-to-end slice: create_data → train 2 epochs (tiny conformer) →
+checkpoint/resume semantics → export bundle → MASRPredictor.predict
+(the PR1-ref pipeline from SURVEY.md §7)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from masr_tpu.audio.io import write_wave
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    os.makedirs(root / "dataset" / "annotation", exist_ok=True)
+    rs = np.random.RandomState(0)
+    lines = []
+    texts = ["你好", "天气", "你好天气", "好天", "气你", "天天好"] * 2
+    for i, text in enumerate(texts):
+        dur = 0.7 + 0.05 * i
+        n = int(16000 * dur)
+        sig = (0.2 * np.sin(2 * np.pi * (180 + 40 * i) * np.arange(n) / 16000)
+               + 0.02 * rs.standard_normal(n)).astype(np.float32)
+        p = root / f"utt{i}.wav"
+        write_wave(p, sig, 16000)
+        lines.append(f"{p}\t{text}")
+    with open(root / "dataset" / "annotation" / "train.txt", "w",
+              encoding="utf-8") as f:
+        f.write("\n".join(lines[:-2]))
+    with open(root / "dataset" / "annotation" / "test.txt", "w",
+              encoding="utf-8") as f:
+        f.write("\n".join(lines[-2:]))
+    return root
+
+
+@pytest.fixture(scope="module")
+def configs(workdir):
+    d = str(workdir)
+    return {
+        "use_model": "conformer", "streaming": True, "decoder": "ctc_greedy",
+        "metrics_type": "cer",
+        "encoder_conf": {"output_size": 32, "attention_heads": 2,
+                         "linear_units": 32, "num_blocks": 1,
+                         "cnn_module_kernel": 7},
+        "decoder_conf": {"attention_heads": 2, "linear_units": 32,
+                         "num_blocks": 1, "r_num_blocks": 0},
+        "model_conf": {"ctc_weight": 0.5, "lsm_weight": 0.1,
+                       "reverse_weight": 0.0},
+        "dataset_conf": {
+            "batch_size": 4, "num_workers": 2, "min_duration": 0,
+            "max_duration": 20,
+            "train_manifest": f"{d}/dataset/manifest.train",
+            "test_manifest": f"{d}/dataset/manifest.test",
+            "dataset_vocab": f"{d}/dataset/vocabulary.txt",
+            "mean_istd_path": f"{d}/dataset/mean_istd.json",
+            "noise_manifest_path": f"{d}/dataset/manifest.noise",
+            "manifest_type": "txt", "init_label_len": 4},
+        "preprocess_conf": {"feature_method": "fbank", "n_mels": 80,
+                            "sample_rate": 16000,
+                            "use_dB_normalization": True, "target_dB": -20},
+        "optimizer_conf": {"optimizer": "Adam", "weight_decay": 1e-6,
+                           "learning_rate": 0.001, "scheduler": "WarmupLR",
+                           "scheduler_conf": {"warmup_steps": 10,
+                                              "min_lr": 1e-5}},
+        "train_conf": {"enable_amp": False, "grad_clip": 5.0,
+                       "accum_grad": 1, "max_epoch": 2, "log_interval": 1},
+        "log_dir": f"{d}/log",
+    }
+
+
+def test_create_data(workdir, configs):
+    from masr_tpu.training.trainer import MASRTrainer
+    trainer = MASRTrainer(configs=dict(configs))
+    trainer.create_data(annotation_path=str(workdir / "dataset/annotation"),
+                        noise_dir=None, num_samples=-1, count_threshold=1)
+    assert os.path.exists(configs["dataset_conf"]["train_manifest"])
+    assert os.path.exists(configs["dataset_conf"]["dataset_vocab"])
+    stats = json.load(open(configs["dataset_conf"]["mean_istd_path"]))
+    assert len(stats["mean"]) == 80
+    vocab = open(configs["dataset_conf"]["dataset_vocab"],
+                 encoding="utf-8").read().splitlines()
+    assert vocab[0].startswith("<blank>")
+    assert vocab[-1].startswith("<eos>")
+
+
+def test_train_eval_export_predict(workdir, configs):
+    from masr_tpu.training.trainer import MASRTrainer
+    from masr_tpu.infer.predictor import MASRPredictor
+
+    save_path = str(workdir / "models")
+    trainer = MASRTrainer(configs=dict(configs))
+    trainer.train(save_model_path=save_path, augment_conf_path=None)
+    ckpt_dir = os.path.join(save_path, "conformer_streaming_fbank")
+    assert os.path.exists(os.path.join(ckpt_dir, "last_model", "model.state"))
+    assert os.path.exists(os.path.join(ckpt_dir, "best_model", "model.state"))
+    state = json.load(open(os.path.join(ckpt_dir, "last_model", "model.state")))
+    assert state["last_epoch"] == 2
+
+    # resume training continues from epoch 2 → runs 0 extra epochs cleanly
+    trainer2 = MASRTrainer(configs=dict(configs))
+    trainer2.train(save_model_path=save_path, augment_conf_path=None)
+
+    # evaluate from checkpoint
+    error, loss = trainer2.evaluate(
+        resume_model=os.path.join(ckpt_dir, "best_model"))
+    # a 2-epoch toy model emits garbage — cer can exceed 1 when the
+    # hypothesis is longer than the reference; only sanity-check here
+    assert error >= 0.0 and np.isfinite(error)
+    assert np.isfinite(loss)
+
+    # export + predict
+    bundle = trainer2.export(save_model_path=save_path,
+                             resume_model=os.path.join(ckpt_dir, "best_model"))
+    predictor = MASRPredictor(bundle, decoder="ctc_greedy", warmup=False)
+    wav = sorted(workdir.glob("utt*.wav"))[0]
+    result = predictor.predict(str(wav))
+    assert isinstance(result["text"], str)
+    stream_result = predictor.predict_stream(
+        np.asarray(np.random.randn(16000) * 0.05, np.float32), is_end=True)
+    predictor.reset_stream()
+    assert stream_result is None or "text" in stream_result
