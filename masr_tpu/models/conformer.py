@@ -277,13 +277,18 @@ class ConformerModel(nn.Module):
     length_normalized_loss: bool = False
     dtype: jnp.dtype = jnp.float32
 
-    def setup(self):
-        assert 0.0 <= self.ctc_weight <= 1.0
+    def make_encoder(self):
+        """Encoder factory — overridden by Squeezeformer/Efficient-Conformer
+        subclasses; everything else (loss, CTC head, chunk API) is shared."""
         enc_conf = dict(self.encoder_conf or {})
-        self.encoder = ConformerEncoder(
+        return ConformerEncoder(
             input_size=self.input_dim, cmvn=self.cmvn,
             use_dynamic_chunk=self.streaming, causal=self.streaming,
             dtype=self.dtype, name="encoder", **enc_conf)
+
+    def setup(self):
+        assert 0.0 <= self.ctc_weight <= 1.0
+        self.encoder = self.make_encoder()
         dec_conf = dict(self.decoder_conf or {})
         self.decoder = BiTransformerDecoder(
             vocab_size=self.vocab_size,
