@@ -1,0 +1,30 @@
+"""ASR REST + WebSocket server (parity: reference infer_server.py)."""
+import argparse
+import functools
+
+from masr_tpu.infer.predictor import MASRPredictor
+from masr_tpu.infer.server import ASRServer
+from masr_tpu.utils.config import add_arguments, print_arguments
+
+parser = argparse.ArgumentParser(description=__doc__)
+add_arg = functools.partial(add_arguments, argparser=parser)
+add_arg('host',            str,  '0.0.0.0',  "监听主机的IP地址")
+add_arg('port',            int,  5000,       "REST服务所使用的端口号")
+add_arg('ws_port',         int,  5001,       "WebSocket流式识别端口号")
+add_arg('model_dir',       str,  'models/conformer_streaming_fbank/inference_model/', "导出的预测模型文件夹路径")
+add_arg("use_gpu",         bool, True,   "是否使用加速器预测(兼容参数)")
+add_arg('use_pun',         bool, False,  "是否给识别结果加标点符号")
+add_arg('is_itn',          bool, False,  "是否对文本进行反标准化")
+add_arg('decoder',         str,  'ctc_greedy', "解码器，支持 ctc_greedy、ctc_beam_search")
+add_arg('pun_model_dir',   str,  None,   "标点符号的模型文件夹路径")
+args = parser.parse_args()
+print_arguments(args=args)
+
+predictor = MASRPredictor(model_dir=args.model_dir, decoder=args.decoder,
+                          use_pun=args.use_pun,
+                          pun_model_dir=args.pun_model_dir)
+
+server = ASRServer(predictor, host=args.host, port=args.port,
+                   ws_port=args.ws_port, use_pun=args.use_pun,
+                   is_itn=args.is_itn)
+server.start(block=True)

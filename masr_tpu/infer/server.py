@@ -1,0 +1,212 @@
+"""ASR server (parity surface: reference infer_server.py — REST short/long
+recognition + WebSocket streaming).
+
+The reference uses FastAPI+uvicorn; this image has neither, so the REST API
+runs on the stdlib ThreadingHTTPServer and streaming runs on the
+`websockets` library. Endpoints:
+
+  POST /recognition             multipart or raw audio body → {text, score}
+  POST /recognition_long_audio  same, VAD-segmented
+  GET  /                        minimal browser demo page
+  WS   ws://host:ws_port/       send PCM chunks; 'end' suffix finalizes
+
+Unlike the reference's single-session guard flag (infer_server.py:107 — a
+latent race, SURVEY.md §5.2), streaming sessions are serialized with a real
+lock per connection and the predictor's stream state is reset between
+utterances.
+"""
+import asyncio
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from masr_tpu.utils.logger import setup_logger
+
+logger = setup_logger()
+
+INDEX_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>masr_tpu demo</title></head>
+<body>
+<h2>masr_tpu speech recognition</h2>
+<p>POST an audio file to <code>/recognition</code> or
+<code>/recognition_long_audio</code>; stream 16 kHz int16 PCM over the
+WebSocket port (send the bytes, finish with a text frame "end").</p>
+<input type="file" id="f"/><button onclick="up()">recognize</button>
+<pre id="out"></pre>
+<script>
+async function up() {
+  const f = document.getElementById('f').files[0];
+  const fd = new FormData(); fd.append('audio', f);
+  const r = await fetch('/recognition', {method: 'POST', body: fd});
+  document.getElementById('out').textContent = await r.text();
+}
+</script></body></html>"""
+
+
+class ASRServer(object):
+    def __init__(self, predictor, host="0.0.0.0", port=5000, ws_port=None,
+                 use_pun=False, is_itn=False):
+        self.predictor = predictor
+        self.host = host
+        self.port = port
+        self.ws_port = ws_port if ws_port is not None else port + 1
+        self.use_pun = use_pun
+        self.is_itn = is_itn
+        self._predict_lock = threading.Lock()  # predictor is not reentrant
+        self._httpd = None
+
+    # ------------------------------ REST ------------------------------- #
+    def _make_handler(server):
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):
+                logger.info("HTTP " + fmt % args)
+
+            def _send_json(self, code, payload):
+                body = json.dumps(payload, ensure_ascii=False).encode("utf-8")
+                self.send_response(code)
+                self.send_header("Content-Type",
+                                 "application/json; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _read_audio(self):
+                ctype = self.headers.get("Content-Type", "")
+                length = int(self.headers.get("Content-Length", 0))
+                if length == 0:
+                    return None
+                body = self.rfile.read(length)
+                if ctype.startswith("multipart/form-data"):
+                    m = re.search(r'boundary="?([^";]+)"?', ctype)
+                    if not m:
+                        return None
+                    boundary = m.group(1).encode()
+                    for part in body.split(b"--" + boundary):
+                        if b"\r\n\r\n" not in part:
+                            continue
+                        headers, _, content = part.partition(b"\r\n\r\n")
+                        if b"filename=" in headers or b'name="audio"' in \
+                                headers or b'name="file"' in headers:
+                            # part content ends with exactly one CRLF before
+                            # the next boundary; don't strip payload bytes
+                            if content.endswith(b"\r\n"):
+                                content = content[:-2]
+                            return content
+                    return None
+                return body
+
+            def do_GET(self):
+                if self.path in ("/", "/index.html"):
+                    body = INDEX_HTML.encode("utf-8")
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/html; charset=utf-8")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                else:
+                    self._send_json(404, {"code": 404, "msg": "not found"})
+
+            def do_POST(self):
+                try:
+                    data = self._read_audio()
+                    if not data:
+                        self._send_json(400, {"code": 400,
+                                              "msg": "no audio provided"})
+                        return
+                    with server._predict_lock:
+                        if self.path == "/recognition":
+                            result = server.predictor.predict(
+                                data, use_pun=server.use_pun,
+                                is_itn=server.is_itn)
+                        elif self.path == "/recognition_long_audio":
+                            result = server.predictor.predict_long(
+                                data, use_pun=server.use_pun,
+                                is_itn=server.is_itn)
+                        else:
+                            self._send_json(404, {"code": 404,
+                                                  "msg": "not found"})
+                            return
+                    self._send_json(200, {"code": 0, "msg": "success",
+                                          "result": result["text"],
+                                          "score": result["score"]})
+                except Exception as e:
+                    logger.exception("recognition failed")
+                    self._send_json(500, {"code": 500, "msg": str(e)})
+
+        return Handler
+
+    # --------------------------- WebSocket ----------------------------- #
+    async def _ws_handler(self, websocket):
+        logger.info(f"websocket session from {websocket.remote_address}")
+        try:
+            async for message in websocket:
+                if isinstance(message, (bytes, bytearray)):
+                    is_end = message.endswith(b"end")
+                    payload = message[:-3] if is_end else bytes(message)
+                    with self._predict_lock:
+                        result = self.predictor.predict_stream(
+                            payload, is_end=is_end, use_pun=self.use_pun,
+                            is_itn=self.is_itn) if payload else None
+                        if is_end:
+                            final = result or {"text": "", "score": 0.0}
+                            self.predictor.reset_stream()
+                            await websocket.send(json.dumps(
+                                {"code": 0, "is_end": True,
+                                 "result": final["text"],
+                                 "score": final.get("score")},
+                                ensure_ascii=False))
+                            continue
+                    if result is not None:
+                        await websocket.send(json.dumps(
+                            {"code": 0, "is_end": False,
+                             "result": result["text"]}, ensure_ascii=False))
+                elif message == "end":
+                    with self._predict_lock:
+                        result = self.predictor.predict_stream(
+                            np.zeros(160, np.float32).tobytes(), is_end=True,
+                            use_pun=self.use_pun, is_itn=self.is_itn)
+                        self.predictor.reset_stream()
+                    final = result or {"text": "", "score": 0.0}
+                    await websocket.send(json.dumps(
+                        {"code": 0, "is_end": True, "result": final["text"],
+                         "score": final.get("score")}, ensure_ascii=False))
+        except Exception as e:
+            logger.warning(f"websocket session ended: {e}")
+        finally:
+            with self._predict_lock:
+                self.predictor.reset_stream()
+
+    async def _serve_ws(self):
+        import websockets
+        async with websockets.serve(self._ws_handler, self.host, self.ws_port):
+            logger.info(f"websocket streaming on ws://{self.host}:{self.ws_port}/")
+            await asyncio.Future()
+
+    # ------------------------------ run -------------------------------- #
+    def start(self, block=True):
+        self._httpd = ThreadingHTTPServer((self.host, self.port),
+                                          self._make_handler())
+        http_thread = threading.Thread(target=self._httpd.serve_forever,
+                                       daemon=True)
+        http_thread.start()
+        logger.info(f"REST API on http://{self.host}:{self.port}/")
+        if block:
+            try:
+                asyncio.run(self._serve_ws())
+            except KeyboardInterrupt:
+                pass
+            finally:
+                self._httpd.shutdown()
+        else:
+            ws_thread = threading.Thread(
+                target=lambda: asyncio.run(self._serve_ws()), daemon=True)
+            ws_thread.start()
+        return self
+
+    def stop(self):
+        if self._httpd is not None:
+            self._httpd.shutdown()
