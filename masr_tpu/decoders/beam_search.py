@@ -131,11 +131,14 @@ class _PyPrefixBeamSearch(object):
         return score, text
 
 
-def _load_native():
+def _native_module():
     try:
-        from masr_tpu.decoders.native import ctc_decoders
-        return ctc_decoders
-    except Exception:
+        from masr_tpu.decoders import native
+        native.get_lib()
+        return native
+    except Exception as e:
+        logger.warning(f"native CTC decoder unavailable ({e}); "
+                       f"using the Python engine")
         return None
 
 
@@ -144,7 +147,7 @@ class BeamSearchDecoder(object):
 
     def __init__(self, vocab_list, alpha=2.2, beta=4.3, beam_size=300,
                  num_processes=10, cutoff_prob=0.99, cutoff_top_n=40,
-                 language_model_path=None, blank_id=0):
+                 language_model_path=None, blank_id=0, use_native=True):
         self.vocab_list = vocab_list
         self.alpha, self.beta = alpha, beta
         self.beam_size = beam_size
@@ -152,39 +155,43 @@ class BeamSearchDecoder(object):
         self.cutoff_prob = cutoff_prob
         self.cutoff_top_n = cutoff_top_n
         self.blank_id = blank_id
-        self._native = _load_native()
+        self._native = _native_module() if use_native else None
         self.scorer = None
+        self._native_scorer = None
         if language_model_path:
             import os
             if os.path.exists(language_model_path):
                 if self._native is not None:
-                    self._native.init_scorer(alpha, beta, language_model_path)
+                    self._native_scorer = self._native.NativeScorer(
+                        alpha, beta, language_model_path)
                 else:
                     self.scorer = Scorer(alpha, beta, language_model_path,
                                          vocab_list)
             else:
                 logger.warning(f"language model not found: "
                                f"{language_model_path}; decoding without LM")
-        if self._native is not None:
-            self._native.set_vocab(vocab_list, blank_id)
         self._stream = None
+
+    def _new_engine(self):
+        if self._native is not None:
+            return self._native.NativeDecoder(
+                self.vocab_list, self.blank_id, self.beam_size,
+                self.cutoff_prob, self.cutoff_top_n, self._native_scorer)
+        return _PyPrefixBeamSearch(self.vocab_list, self.beam_size,
+                                   self.cutoff_prob, self.cutoff_top_n,
+                                   self.blank_id, self.scorer)
 
     # -------------------------- offline ------------------------------- #
     def decode_beam_search_offline(self, probs_seq):
         """(T, V) softmax probs → (score, text)."""
-        if self._native is not None:
-            return self._native.decode(np.asarray(probs_seq, np.float32),
-                                       self.beam_size, self.cutoff_prob,
-                                       self.cutoff_top_n)
-        bs = _PyPrefixBeamSearch(self.vocab_list, self.beam_size,
-                                 self.cutoff_prob, self.cutoff_top_n,
-                                 self.blank_id, self.scorer)
-        bs.step(np.asarray(probs_seq))
-        return bs.result()
+        engine = self._new_engine()
+        engine.step(np.asarray(probs_seq, np.float32))
+        return engine.result()
 
     def decode_batch_beam_search_offline(self, probs_split):
-        """List of per-utterance probs → [(score, text)] (thread pool,
-        mirroring the reference's multiprocess batch decode)."""
+        """List of per-utterance probs → [(score, text)]. The native engine
+        releases the GIL inside ctypes calls, so a thread pool gives real
+        parallelism (mirrors the reference's num_processes batch decode)."""
         if len(probs_split) == 1:
             return [self.decode_beam_search_offline(probs_split[0])]
         with ThreadPoolExecutor(min(self.num_processes,
@@ -195,21 +202,10 @@ class BeamSearchDecoder(object):
     def decode_chunk(self, probs_chunk):
         """Stateful chunk decode → (score, text) of current best prefix."""
         if self._stream is None:
-            if self._native is not None:
-                self._stream = self._native.StreamDecoder(
-                    self.beam_size, self.cutoff_prob, self.cutoff_top_n)
-            else:
-                self._stream = _PyPrefixBeamSearch(
-                    self.vocab_list, self.beam_size, self.cutoff_prob,
-                    self.cutoff_top_n, self.blank_id, self.scorer)
-        if self._native is not None:
-            return self._stream.next(np.asarray(probs_chunk, np.float32))
-        self._stream.step(np.asarray(probs_chunk))
+            self._stream = self._new_engine()
+        self._stream.step(np.asarray(probs_chunk, np.float32))
         return self._stream.result()
 
     def reset_state(self):
         if self._stream is not None:
-            if self._native is not None:
-                self._stream.reset()
-            else:
-                self._stream.reset()
+            self._stream.reset()
