@@ -125,6 +125,68 @@ def _write_jsonl(path, entries):
             f.write(json.dumps(e, ensure_ascii=False) + "\n")
 
 
+def merge_audio(annotation_path, save_audio_path, max_duration=600,
+                target_sr=16000):
+    """Pack many short wavs into ≤max_duration-second files; annotation
+    lines are rewritten as JSONL with start_time/end_time into
+    `<name>.merge.json` (parity: utils.py:149-205). Reduces small-file I/O
+    pressure for large corpora."""
+    import numpy as np
+    os.makedirs(save_audio_path, exist_ok=True)
+    for annotation_text in sorted(os.listdir(annotation_path)):
+        if not annotation_text.endswith(".txt") or \
+                annotation_text.startswith("test"):
+            continue
+        path = os.path.join(annotation_path, annotation_text)
+        out_entries = []
+        buf, buf_dur, file_idx = [], 0.0, 0
+        pending = []
+
+        def flush():
+            nonlocal buf, buf_dur, file_idx, pending
+            if not buf:
+                return
+            samples = np.concatenate(buf)
+            name = f"{os.path.splitext(annotation_text)[0]}_{file_idx}.wav"
+            merged_path = os.path.join(save_audio_path, name).replace("\\", "/")
+            AudioSegment(samples, target_sr).to_wav_file(merged_path)
+            t = 0.0
+            for dur, text in pending:
+                out_entries.append({"audio_filepath": merged_path,
+                                    "duration": round(dur, 3),
+                                    "text": text,
+                                    "start_time": round(t, 3),
+                                    "end_time": round(t + dur, 3)})
+                t += dur
+            buf, buf_dur, pending = [], 0.0, []
+            file_idx += 1
+
+        with open(path, "r", encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                audio_path, text = line.split("\t", 1)
+                try:
+                    seg = AudioSegment.from_file(audio_path)
+                except Exception as e:
+                    logger.warning(f"merge_audio: skipping {audio_path}: {e}")
+                    continue
+                if seg.sample_rate != target_sr:
+                    seg.resample(target_sr)
+                buf.append(seg.samples)
+                pending.append((seg.duration, text))
+                buf_dur += seg.duration
+                if buf_dur >= max_duration:
+                    flush()
+        flush()
+        out = os.path.join(annotation_path,
+                           os.path.splitext(annotation_text)[0] + ".merge.json")
+        _write_jsonl(out, out_entries)
+        logger.info(f"merged {annotation_text}: {len(out_entries)} utterances "
+                    f"into {file_idx} files")
+
+
 def change_rate(audio_path, target_sr=16000):
     """Re-write an audio file at the target sample rate if needed
     (parity: utils.py:209-222)."""
