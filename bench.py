@@ -96,9 +96,26 @@ def main():
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(rtf / baseline_rtf, 3),
     }))
-    print(f"# per-chunk latency: {per_chunk * 1000:.2f} ms for "
+    print(f"# single-stream per-chunk latency: {per_chunk * 1000:.2f} ms for "
           f"{audio_per_chunk * 1000:.0f} ms audio; device: "
           f"{jax.devices()[0].device_kind}", file=sys.stderr)
+
+    # serving throughput: 32 concurrent streams per chip
+    Bs = 32
+    state_b = model.apply(
+        variables, method=lambda m: m.encoder.init_cache(
+            batch=Bs, cache_size=cache_size))
+    xs_b = jnp.asarray(np.random.RandomState(2).standard_normal(
+        (50, Bs, window, feat)), jnp.float32)
+    st_b, out_b = stream(variables, xs_b, state_b)
+    float(out_b)
+    t0 = time.perf_counter()
+    st_b, out_b = stream(variables, xs_b, st_b)
+    float(out_b)
+    step_b = (time.perf_counter() - t0) / 50
+    print(f"# batched streaming: B={Bs}, {step_b * 1000:.2f} ms/step, "
+          f"total {Bs * audio_per_chunk / step_b:.0f}x realtime/chip, "
+          f"p50 chunk latency {step_b * 1000:.1f} ms", file=sys.stderr)
 
 
 if __name__ == "__main__":

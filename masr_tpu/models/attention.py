@@ -89,7 +89,11 @@ class MultiHeadedAttention(nn.Module):
 
 class RelPositionMultiHeadedAttention(MultiHeadedAttention):
     """Rel-pos MHSA with pos_bias_u/v (Transformer-XL §3.3); rel_shift is
-    intentionally absent, matching the reference (attention.py:244-247)."""
+    intentionally absent, matching the reference (attention.py:244-247).
+
+    use_flash=True routes the full-context (cache-free, square-mask) path
+    through the fused Pallas kernel (ops/pallas/attention.py)."""
+    use_flash: bool = False
 
     def setup(self):
         super().setup()
@@ -101,6 +105,10 @@ class RelPositionMultiHeadedAttention(MultiHeadedAttention):
 
     def __call__(self, query, key, value, mask=None, pos_emb=None,
                  cache=None, train: bool = False):
+        if (self.use_flash and cache is None and mask is not None
+                and mask.ndim == 3 and mask.shape[1] == query.shape[1]
+                and not (train and self.dropout_rate > 0.0)):
+            return self._flash(query, key, value, mask, pos_emb), None
         q, k, v = self._qkv(query, key, value)
         k, v, new_cache = self._merge_cache(k, v, cache)
 
@@ -118,6 +126,19 @@ class RelPositionMultiHeadedAttention(MultiHeadedAttention):
         scores = (matrix_ac + matrix_bd) / jnp.sqrt(jnp.float32(self.d_k))
         out = self._attend(v, scores, mask, train)
         return out, new_cache
+
+    def _flash(self, query, key, value, mask, pos_emb):
+        from masr_tpu.ops.pallas.attention import rel_pos_flash_attention
+        B, T = query.shape[0], query.shape[1]
+        q, k, v = self._qkv(query, key, value)
+        p = self.linear_pos(pos_emb.astype(self.dtype))
+        p = p.reshape(-1, self.n_head, self.d_k).transpose(1, 0, 2)  # (H,T,d)
+        out = rel_pos_flash_attention(
+            q, k, v, p, self.pos_bias_u.astype(self.dtype),
+            self.pos_bias_v.astype(self.dtype), mask,
+            sm_scale=1.0 / (self.d_k ** 0.5))
+        out = out.transpose(0, 2, 1, 3).reshape(B, T, self.n_head * self.d_k)
+        return self.linear_out(out)
 
 
 def make_att_cache(num_layers, batch, n_head, cache_size, d_k, dtype=jnp.float32):

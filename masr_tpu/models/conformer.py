@@ -46,15 +46,20 @@ class ConformerEncoderLayer(nn.Module):
     causal: bool = False
     activation_type: str = "swish"
     rel_pos: bool = True
+    use_flash_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         act = get_activation(self.activation_type)
-        attn_cls = RelPositionMultiHeadedAttention if self.rel_pos \
-            else MultiHeadedAttention
-        self.self_attn = attn_cls(self.attention_heads, self.size,
-                                  self.attention_dropout_rate,
-                                  dtype=self.dtype, name="self_attn")
+        if self.rel_pos:
+            self.self_attn = RelPositionMultiHeadedAttention(
+                self.attention_heads, self.size, self.attention_dropout_rate,
+                use_flash=self.use_flash_attention, dtype=self.dtype,
+                name="self_attn")
+        else:
+            self.self_attn = MultiHeadedAttention(
+                self.attention_heads, self.size, self.attention_dropout_rate,
+                dtype=self.dtype, name="self_attn")
         self.feed_forward = PositionwiseFeedForward(
             self.size, self.linear_units, self.dropout_rate, activation=act,
             dtype=self.dtype, name="feed_forward")
@@ -147,6 +152,7 @@ class ConformerEncoder(nn.Module):
     cnn_module_kernel: int = 15
     causal: bool = False
     cnn_module_norm: str = "layer_norm"
+    use_flash_attention: bool = False
     cmvn: Any = None
     dtype: jnp.dtype = jnp.float32
 
@@ -167,7 +173,8 @@ class ConformerEncoder(nn.Module):
             cnn_module_kernel=self.cnn_module_kernel,
             cnn_module_norm=self.cnn_module_norm, causal=self.causal,
             activation_type=self.activation_type,
-            rel_pos=self.pos_enc_layer_type == "rel_pos", dtype=self.dtype,
+            rel_pos=self.pos_enc_layer_type == "rel_pos",
+            use_flash_attention=self.use_flash_attention, dtype=self.dtype,
             name=f"layer_{i}") for i in range(self.num_blocks)]
         self.after_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                                        name="after_norm")
