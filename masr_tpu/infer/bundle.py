@@ -20,7 +20,18 @@ from masr_tpu.models.cmvn import GlobalCMVN
 
 def save_inference_bundle(out_dir, use_model, streaming, input_dim,
                           vocab_list, mean, istd, encoder_conf, decoder_conf,
-                          model_conf, preprocess_conf, variables):
+                          model_conf, preprocess_conf, variables,
+                          half: bool = False):
+    """half=True stores params as bfloat16 — the TPU analogue of the
+    reference's dynamic-quantized export variant (trainer.py:691-697):
+    halves the artifact and HBM footprint; CTC softmax still runs f32."""
+    if half:
+        import jax
+        import jax.numpy as jnp
+        variables = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            variables)
     os.makedirs(out_dir, exist_ok=True)
     meta = {
         "framework": "masr_tpu",

@@ -174,12 +174,16 @@ class MASRTrainer(object):
     # ------------------------------------------------------------------ #
     def _setup_model(self, input_dim, vocab_size, is_train=False):
         d = self.configs.dataset_conf
+        # enable_amp → bfloat16 compute (f32 params/reductions), the TPU
+        # equivalent of the reference's AMP autocast (trainer.py:369-371)
+        amp = bool(self.configs.get("train_conf", {}).get("enable_amp", False))
         self.model = build_model(
             self.use_model, input_dim, vocab_size,
             mean_istd_path=d.mean_istd_path, streaming=self.streaming,
             encoder_conf=self.configs.get("encoder_conf"),
             decoder_conf=self.configs.get("decoder_conf"),
-            model_conf=self.configs.get("model_conf"))
+            model_conf=self.configs.get("model_conf"),
+            dtype=jnp.bfloat16 if amp else jnp.float32)
         rng = jax.random.PRNGKey(self.configs.get("seed", 0))
         L = self.configs.dataset_conf.get("init_label_len", 8)
         dummy = (jnp.zeros((2, 160, input_dim)), jnp.asarray([160, 160]),
@@ -260,6 +264,8 @@ class MASRTrainer(object):
         max_epoch = t_conf.max_epoch
         log_interval = t_conf.get("log_interval", 100)
         accum = t_conf.get("accum_grad", 1)
+        # mid-epoch checkpoint cadence (trainer.py:425-426: every 10k batches)
+        save_interval = t_conf.get("save_interval_batches", 10000)
 
         for epoch in range(last_epoch, max_epoch):
             sampler.set_epoch(epoch)
@@ -292,6 +298,13 @@ class MASRTrainer(object):
                     if writer:
                         writer.add_scalar("Train/Loss", loss, step)
                         writer.add_scalar("Train/lr", lr, step)
+                if save_interval and batch_id > 0 and \
+                        batch_id % save_interval == 0 and self.rank == 0:
+                    ckpt.save_checkpoint(
+                        save_dir, epoch + 1,
+                        jax.device_get(self._state_pytree()),
+                        metrics={"last_epoch": epoch,
+                                 "mid_epoch_batch": batch_id})
                 batch_start = time.time()
             logger.info(f"epoch {epoch + 1} finished in "
                         f"{time.time() - epoch_start:.1f}s, "
@@ -370,8 +383,9 @@ class MASRTrainer(object):
     # export
     # ------------------------------------------------------------------ #
     def export(self, save_model_path="models/",
-               resume_model="models/best_model"):
-        """Checkpoint → inference bundle (trainer.py:653-697)."""
+               resume_model="models/best_model", half: bool = False):
+        """Checkpoint → inference bundle (trainer.py:653-697); half=True
+        writes bf16 params (quantized-export analogue)."""
         from masr_tpu.infer.bundle import save_inference_bundle
         d = self.configs.dataset_conf
         featurizer = AudioFeaturizer(train=False,
@@ -395,7 +409,7 @@ class MASRTrainer(object):
             tf.vocab_list, norm.mean, norm.istd,
             self.configs.get("encoder_conf"), self.configs.get("decoder_conf"),
             self.configs.get("model_conf"), self.configs.preprocess_conf,
-            jax.device_get(variables))
+            jax.device_get(variables), half=half)
         logger.info(f"inference bundle exported to {out_dir}")
         return out_dir
 
