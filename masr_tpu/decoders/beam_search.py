@@ -130,6 +130,13 @@ class _PyPrefixBeamSearch(object):
         score = _log_sum_exp(vals[0], vals[1]) + vals[2]
         return score, text
 
+    def result_nbest(self, n):
+        """→ [(score, token_ids)], best first."""
+        scored = sorted(
+            ((_log_sum_exp(v[0], v[1]) + v[2], list(p))
+             for p, v in self.beams.items()), key=lambda x: -x[0])
+        return scored[:n]
+
 
 def _native_module():
     try:
@@ -187,6 +194,13 @@ class BeamSearchDecoder(object):
         engine = self._new_engine()
         engine.step(np.asarray(probs_seq, np.float32))
         return engine.result()
+
+    def decode_nbest(self, probs_seq, n):
+        """(T, V) softmax probs → [(score, token_ids)] top-n prefixes
+        (used by attention rescoring)."""
+        engine = self._new_engine()
+        engine.step(np.asarray(probs_seq, np.float32))
+        return engine.result_nbest(n)
 
     def decode_batch_beam_search_offline(self, probs_split):
         """List of per-utterance probs → [(score, text)]. The native engine

@@ -46,6 +46,12 @@ def _load():
                                         ctypes.POINTER(ctypes.c_int),
                                         ctypes.c_int,
                                         ctypes.POINTER(ctypes.c_double)]
+    lib.masr_decoder_nbest.restype = ctypes.c_int
+    lib.masr_decoder_nbest.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                       ctypes.POINTER(ctypes.c_int),
+                                       ctypes.POINTER(ctypes.c_int),
+                                       ctypes.POINTER(ctypes.c_double),
+                                       ctypes.c_int]
     lib.masr_decoder_destroy.argtypes = [ctypes.c_void_p]
     return lib
 
@@ -119,6 +125,18 @@ class NativeDecoder(object):
         """Chunk decode: advance and return the current best (score, text)."""
         self.step(probs)
         return self.result()
+
+    def result_nbest(self, n, max_len=8192):
+        out = (ctypes.c_int * (n * max_len))()
+        lens = (ctypes.c_int * n)()
+        scores = (ctypes.c_double * n)()
+        count = self._lib.masr_decoder_nbest(self.handle, n, out, lens,
+                                             scores, max_len)
+        results = []
+        for i in range(count):
+            ids = [out[i * max_len + t] for t in range(lens[i])]
+            results.append((float(scores[i]), ids))
+        return results
 
     def __del__(self):
         if getattr(self, "handle", None):

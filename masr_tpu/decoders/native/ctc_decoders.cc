@@ -381,6 +381,30 @@ int masr_decoder_result(void* dec, int* out_tokens, int max_out,
   return n;
 }
 
+// top-n prefixes: fills out_tokens (n * max_len, row-major, -1 padded),
+// out_lens (n), out_scores (n); returns the number of beams written
+int masr_decoder_nbest(void* dec, int n, int* out_tokens, int* out_lens,
+                       double* out_scores, int max_len) {
+  auto* d = static_cast<Decoder*>(dec);
+  std::vector<std::pair<double, const std::vector<int>*>> scored;
+  scored.reserve(d->beams.size());
+  for (const auto& kv : d->beams)
+    scored.emplace_back(
+        log_sum_exp(kv.second.p_b, kv.second.p_nb) + kv.second.lm, &kv.first);
+  std::sort(scored.begin(), scored.end(),
+            [](auto& a, auto& b) { return a.first > b.first; });
+  int count = std::min<int>(n, scored.size());
+  for (int i = 0; i < count; ++i) {
+    const auto& pfx = *scored[i].second;
+    int len = std::min<int>(pfx.size(), max_len);
+    for (int t = 0; t < max_len; ++t)
+      out_tokens[i * max_len + t] = t < len ? pfx[t] : -1;
+    out_lens[i] = len;
+    out_scores[i] = scored[i].first;
+  }
+  return count;
+}
+
 void masr_decoder_destroy(void* dec) {
   auto* d = static_cast<Decoder*>(dec);
   delete d->vocab;

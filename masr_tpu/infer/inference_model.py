@@ -48,6 +48,9 @@ class InferencePredictor(object):
 
         self._encode = jax.jit(self._encode_impl)
         self._chunk_step = jax.jit(self._chunk_step_impl)
+        self._encode_hidden = jax.jit(self._encode_hidden_impl)
+        self._rescore = jax.jit(self._rescore_impl,
+                                static_argnames=("reverse_weight",))
         self.state = None  # streaming state pytree
 
     # ------------------------------------------------------------------ #
@@ -58,6 +61,17 @@ class InferencePredictor(object):
     def _chunk_step_impl(self, variables, speech, state):
         return self.model.apply(variables, speech, state,
                                 method=type(self.model).get_encoder_out_chunk)
+
+    def _encode_hidden_impl(self, variables, speech, lens):
+        return self.model.apply(
+            variables, speech, lens,
+            method=type(self.model).encode_for_rescoring)
+
+    def _rescore_impl(self, variables, encoder_out, encoder_len, hyps,
+                      hyps_lens, reverse_weight=0.0):
+        return self.model.apply(
+            variables, encoder_out, encoder_len, hyps, hyps_lens,
+            reverse_weight, method=type(self.model).rescore_hyps)
 
     # ------------------------------------------------------------------ #
     def predict(self, speech, speech_lengths):
@@ -73,6 +87,37 @@ class InferencePredictor(object):
         return np.asarray(probs), np.asarray(lens)
 
     # ------------------------------------------------------------------ #
+    def encode_for_rescoring(self, speech, speech_lengths):
+        """→ (encoder_out, ctc_probs, out_lens) as ndarrays (bucketed)."""
+        speech = np.asarray(speech, np.float32)
+        B, T, F = speech.shape
+        T_pad = _round_up(max(T, 8), self.length_bucket)
+        if T_pad != T:
+            speech = np.pad(speech, ((0, 0), (0, T_pad - T), (0, 0)))
+        enc, probs, lens = self._encode_hidden(
+            self.variables, jnp.asarray(speech),
+            jnp.asarray(speech_lengths, jnp.int32))
+        return enc, np.asarray(probs), np.asarray(lens)
+
+    def rescore(self, encoder_out, encoder_len, hyps_list, reverse_weight=0.0,
+                nbest_pad=10, len_bucket=8):
+        """hyps_list: list of token-id lists → (N,) attention scores.
+        Hyps are padded to fixed (nbest_pad, bucketed L) so rescoring
+        compiles once."""
+        N = len(hyps_list)
+        L = _round_up(max(max((len(h) for h in hyps_list), default=1), 1),
+                      len_bucket)
+        hyps = np.full((nbest_pad, L), -1, np.int32)
+        hyp_lens = np.zeros((nbest_pad,), np.int32)
+        for i, h in enumerate(hyps_list[:nbest_pad]):
+            hyps[i, : len(h)] = h
+            hyp_lens[i] = len(h)
+        scores = self._rescore(self.variables, encoder_out,
+                               jnp.asarray(int(encoder_len)),
+                               jnp.asarray(hyps), jnp.asarray(hyp_lens),
+                               reverse_weight=reverse_weight)
+        return np.asarray(scores)[:N]
+
     def init_stream_state(self, batch=1):
         if self.use_model == "deepspeech2":
             self.state = self.model.apply(

@@ -51,8 +51,19 @@ class MASRPredictor(object):
             os.path.join(model_dir, "vocabulary.txt"))
         self.decoder = decoder
         decoder_configs = dict(decoder_configs or {})
+        # attention rescoring knobs (beyond the reference — it never wired
+        # its forward_one_step); defaults follow WeNet conventions
+        self.rescoring_nbest = decoder_configs.pop("rescoring_nbest", 10)
+        self.rescoring_ctc_weight = decoder_configs.pop(
+            "rescoring_ctc_weight",
+            float((meta.get("model_conf") or {}).get("ctc_weight", 0.3)))
+        dec_conf = dict(meta.get("decoder_conf") or {})
+        self.rescoring_reverse_weight = decoder_configs.pop(
+            "rescoring_reverse_weight",
+            float((meta.get("model_conf") or {}).get("reverse_weight", 0.0))
+            if dec_conf.get("r_num_blocks", 0) > 0 else 0.0)
         self.beam_search_decoder = None
-        if decoder == "ctc_beam_search":
+        if decoder in ("ctc_beam_search", "attention_rescoring"):
             try:
                 self.beam_search_decoder = BeamSearchDecoder(
                     self._text_featurizer.vocab_list, **decoder_configs)
@@ -60,6 +71,10 @@ class MASRPredictor(object):
                 logger.warning(f"beam search unavailable ({e}); "
                                f"falling back to greedy decoding")
                 self.decoder = "ctc_greedy"
+        if decoder == "attention_rescoring" and self.use_model == "deepspeech2":
+            logger.warning("deepspeech2 has no attention decoder; "
+                           "attention_rescoring falls back to ctc_beam_search")
+            self.decoder = "ctc_beam_search"
         self.pun_predictor = None
         if use_pun and pun_model_dir:
             try:
@@ -127,8 +142,34 @@ class MASRPredictor(object):
         feats = self._audio_featurizer.featurize(audio_segment)
         speech = feats[np.newaxis]
         lens = np.array([feats.shape[0]], np.int64)
+        if self.decoder == "attention_rescoring":
+            return self._predict_rescoring(speech, lens, use_pun, is_itn)
         probs, out_lens = self.predictor.predict(speech, lens)
         return self._decode_result(probs, out_lens, use_pun, is_itn)
+
+    def _predict_rescoring(self, speech, lens, use_pun=False, is_itn=False):
+        """CTC prefix beam n-best → attention-decoder rescoring:
+        total = att_score + rescoring_ctc_weight * ctc_score."""
+        enc, probs, out_lens = self.predictor.encode_for_rescoring(speech,
+                                                                   lens)
+        nbest = self.beam_search_decoder.decode_nbest(
+            probs[0][: int(out_lens[0])], self.rescoring_nbest)
+        nbest = [(s, ids) for s, ids in nbest if len(ids) > 0] or nbest
+        if not nbest or all(len(ids) == 0 for _, ids in nbest):
+            return {"text": "", "score": 0.0}
+        att_scores = self.predictor.rescore(
+            enc, out_lens[0], [ids for _, ids in nbest],
+            reverse_weight=self.rescoring_reverse_weight,
+            nbest_pad=self.rescoring_nbest)
+        totals = [a + self.rescoring_ctc_weight * s
+                  for a, (s, _) in zip(att_scores, nbest)]
+        best = int(np.argmax(totals))
+        text = self._text_featurizer.detokenize(nbest[best][1])
+        if use_pun and text and self.pun_predictor is not None:
+            text = self.pun_predictor(text)
+        if is_itn and text:
+            text = self.inverse_text_normalization(text)
+        return {"text": text, "score": float(totals[best])}
 
     def predict_batch(self, audio_list, use_pun=False, is_itn=False,
                       sample_rate=16000):
@@ -234,7 +275,10 @@ class MASRPredictor(object):
             probs = probs[:, :valid_out]
             if probs.shape[1] == 0:
                 continue
-            if self.decoder == "ctc_beam_search" and self.beam_search_decoder:
+            # streaming uses incremental beam/greedy; attention rescoring is
+            # an offline rerank, so rescoring configs stream with the beam
+            if self.beam_search_decoder is not None and self.decoder in (
+                    "ctc_beam_search", "attention_rescoring"):
                 score, text = self.beam_search_decoder.decode_chunk(probs[0])
             else:
                 score, text = self.greedy_chunk_decoder.decode_chunk(probs[0])

@@ -391,11 +391,37 @@ class ConformerModel(nn.Module):
     def ctc_log_softmax(self, encoder_out):
         return self.ctc.log_softmax(encoder_out)
 
-    def attention_rescore_scores(self, encoder_out, encoder_mask, hyps,
-                                 hyps_lens, reverse_weight: float = 0.0):
-        """Score padded hypotheses (B, L) with the attention decoder — used
-        by attention-rescoring decode (decoder.py:233 forward_one_step is
-        defined-but-unused in the reference; here rescoring is wired up)."""
+    def encode_for_rescoring(self, speech, speech_lengths):
+        """Full-context encode → (encoder_out, ctc_probs, out_lens); the
+        hidden states feed attention rescoring without a second encode."""
+        encoder_out, mask = self.encoder(speech, speech_lengths,
+                                         decoding_chunk_size=-1,
+                                         num_decoding_left_chunks=-1)
+        lens = mask[:, 0, :].sum(axis=1).astype(jnp.int32)
+        return encoder_out, self.ctc.softmax(encoder_out), lens
+
+    @staticmethod
+    def _gather_hyp_scores(logp, ys_out, ignore_id):
+        """Sum per-token log-probs of each hypothesis incl. its <eos>."""
+        valid = ys_out != ignore_id
+        tgt = jnp.where(valid, ys_out, 0)
+        tok = jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+        return jnp.where(valid, tok, 0.0).sum(axis=1)
+
+    def rescore_hyps(self, encoder_out, encoder_len, hyps, hyps_lens,
+                     reverse_weight: float = 0.0):
+        """Attention-rescoring scores for N hypotheses over ONE utterance
+        (the decode mode the reference's forward_one_step was built for but
+        never wired, transformer/decoder.py:233).
+
+        encoder_out: (1, T, D); hyps: (N, L) padded with -1 → (N,) scores
+        = (1-rw)·left-decoder + rw·right-decoder log-likelihoods."""
+        N = hyps.shape[0]
+        T = encoder_out.shape[1]
+        enc = jnp.broadcast_to(encoder_out,
+                               (N,) + encoder_out.shape[1:])
+        enc_mask = (jnp.arange(T)[None, :] < encoder_len)[:, None, :]
+        enc_mask = jnp.broadcast_to(enc_mask, (N, 1, T))
         ys_in_pad, ys_out_pad = add_sos_eos(hyps, hyps_lens, self.sos,
                                             self.eos, self.ignore_id)
         r_hyps = reverse_pad_list(hyps, hyps_lens,
@@ -403,8 +429,14 @@ class ConformerModel(nn.Module):
         r_ys_in_pad, r_ys_out_pad = add_sos_eos(r_hyps, hyps_lens, self.sos,
                                                 self.eos, self.ignore_id)
         decoder_out, r_decoder_out = self.decoder(
-            encoder_out, encoder_mask, ys_in_pad, hyps_lens + 1, r_ys_in_pad,
+            enc, enc_mask, ys_in_pad, hyps_lens + 1, r_ys_in_pad,
             reverse_weight, False)
-        return (jax.nn.log_softmax(decoder_out, axis=-1),
-                jax.nn.log_softmax(r_decoder_out, axis=-1)
-                if reverse_weight > 0 else r_decoder_out)
+        logp = jax.nn.log_softmax(decoder_out.astype(jnp.float32), axis=-1)
+        scores = self._gather_hyp_scores(logp, ys_out_pad, self.ignore_id)
+        if reverse_weight > 0.0:
+            r_logp = jax.nn.log_softmax(r_decoder_out.astype(jnp.float32),
+                                        axis=-1)
+            r_scores = self._gather_hyp_scores(r_logp, r_ys_out_pad,
+                                               self.ignore_id)
+            scores = (1 - reverse_weight) * scores + reverse_weight * r_scores
+        return scores

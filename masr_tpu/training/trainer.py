@@ -266,6 +266,10 @@ class MASRTrainer(object):
         accum = t_conf.get("accum_grad", 1)
         # mid-epoch checkpoint cadence (trainer.py:425-426: every 10k batches)
         save_interval = t_conf.get("save_interval_batches", 10000)
+        # device-level profiling (beyond the reference's hand timing,
+        # SURVEY.md §5.1): profile_batches: [start, end] traces those
+        # batches of epoch 1 into <log_dir>/profile for xprof/tensorboard
+        profile_range = t_conf.get("profile_batches") or []
 
         for epoch in range(last_epoch, max_epoch):
             sampler.set_epoch(epoch)
@@ -277,8 +281,18 @@ class MASRTrainer(object):
                     logger.warning("training stopped by stop_train flag")
                     return
                 reader_cost = time.time() - batch_start
+                if profile_range and epoch == last_epoch and \
+                        batch_id == profile_range[0] and self.rank == 0:
+                    jax.profiler.start_trace(os.path.join(
+                        self.configs.get("log_dir", "log"), "profile"))
                 sharded = shard_batch(batch, self.mesh)
                 self.state, metrics = train_step(self.state, sharded, rng)
+                if profile_range and epoch == last_epoch and \
+                        batch_id == profile_range[-1] and self.rank == 0:
+                    jax.tree.map(
+                        lambda x: x.block_until_ready(), self.state.params)
+                    jax.profiler.stop_trace()
+                    logger.info("profiler trace written to log/profile")
                 loss = float(metrics["loss"])
                 losses.append(loss)
                 batch_cost = time.time() - batch_start

@@ -92,6 +92,26 @@ def test_predict_stream_and_chunking_consistency(predictor, test_wav_path):
     assert r_one["text"] == r_inc["text"]
 
 
+def test_attention_rescoring_decoder(bundle_dir, test_wav_path):
+    from masr_tpu.infer.predictor import MASRPredictor
+    p = MASRPredictor(bundle_dir, decoder="attention_rescoring",
+                      decoder_configs={"beam_size": 8, "rescoring_nbest": 4},
+                      warmup=False)
+    result = p.predict(test_wav_path)
+    assert set(result) == {"text", "score"}
+    assert isinstance(result["text"], str)
+    # the chosen hypothesis must be one of the CTC n-best
+    import numpy as np
+    from masr_tpu.audio import AudioSegment
+    seg = AudioSegment.from_file(test_wav_path)
+    feats = p._audio_featurizer.featurize(seg)
+    enc, probs, lens = p.predictor.encode_for_rescoring(
+        feats[None], np.asarray([feats.shape[0]]))
+    nbest = p.beam_search_decoder.decode_nbest(probs[0][: int(lens[0])], 4)
+    texts = {p._text_featurizer.detokenize(ids) for _, ids in nbest}
+    assert result["text"] in texts
+
+
 def test_predict_long_runs(predictor, test_wav_path):
     result = predictor.predict_long(test_wav_path)
     assert set(result) == {"text", "score"}
