@@ -49,17 +49,20 @@ class ConformerEncoderLayer(nn.Module):
     use_flash_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
-    def setup(self):
-        act = get_activation(self.activation_type)
+    def make_attention(self):
+        """Attention factory — overridden by grouped-attention layers."""
         if self.rel_pos:
-            self.self_attn = RelPositionMultiHeadedAttention(
+            return RelPositionMultiHeadedAttention(
                 self.attention_heads, self.size, self.attention_dropout_rate,
                 use_flash=self.use_flash_attention, dtype=self.dtype,
                 name="self_attn")
-        else:
-            self.self_attn = MultiHeadedAttention(
-                self.attention_heads, self.size, self.attention_dropout_rate,
-                dtype=self.dtype, name="self_attn")
+        return MultiHeadedAttention(
+            self.attention_heads, self.size, self.attention_dropout_rate,
+            dtype=self.dtype, name="self_attn")
+
+    def setup(self):
+        act = get_activation(self.activation_type)
+        self.self_attn = self.make_attention()
         self.feed_forward = PositionwiseFeedForward(
             self.size, self.linear_units, self.dropout_rate, activation=act,
             dtype=self.dtype, name="feed_forward")

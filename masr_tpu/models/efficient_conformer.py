@@ -62,11 +62,15 @@ class GroupedRelPositionMultiHeadedAttention(MultiHeadedAttention):
             "pos_bias_v", init, (self.n_head, self.d_k * self.group_size))
 
     def _group(self, x):
-        """(B, h, T, d) → (B, h, ceil(T/g), d*g) after zero-padding T."""
+        """(B, h, T, d) → (B, h, ceil(T/g), d*g), replicating the
+        reference's exact view semantics (attention.py:58-61): the reshape
+        happens in (B, T, h, d) layout, so groups interleave heads and time
+        — weight-compatibility requires matching it bit-for-bit."""
         B, h, T, d = x.shape
-        x, pad = _pad_to_multiple(x, self.group_size, axis=2)
-        x = x.reshape(B, h, -1, d * self.group_size)
-        return x, pad
+        x = x.transpose(0, 2, 1, 3)  # (B, T, h, d)
+        x, pad = _pad_to_multiple(x, self.group_size, axis=1)
+        x = x.reshape(B, -1, h, d * self.group_size)
+        return x.transpose(0, 2, 1, 3), pad
 
     def __call__(self, query, key, value, mask=None, pos_emb=None,
                  cache=None, train: bool = False):
@@ -504,13 +508,13 @@ class _EffConformerLayer(ConformerEncoderLayer):
     grouped: bool = False
     group_size: int = 3
 
-    def setup(self):
-        super().setup()
+    def make_attention(self):
         if self.grouped:
-            self.self_attn = GroupedRelPositionMultiHeadedAttention(
+            return GroupedRelPositionMultiHeadedAttention(
                 self.attention_heads, self.size, self.attention_dropout_rate,
                 group_size=self.group_size, dtype=self.dtype,
-                name="self_attn_grouped")
+                name="self_attn")
+        return super().make_attention()
 
 
 class EfficientConformerModel(ConformerModel):

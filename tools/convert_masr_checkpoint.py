@@ -40,16 +40,16 @@ def main():
     from masr_tpu.models.cmvn import GlobalCMVN
     from masr_tpu.models.convert import (apply_converted,
                                          convert_conformer_family,
-                                         convert_deepspeech2)
+                                         convert_deepspeech2,
+                                         convert_efficient_conformer,
+                                         convert_squeezeformer)
     from masr_tpu.models.registry import build_model
 
     configs = load_config(args.configs)
     use_model = configs.use_model
-    if use_model not in ("conformer", "deepspeech2"):
-        raise NotImplementedError(
-            f"checkpoint conversion currently supports conformer and "
-            f"deepspeech2 (got {use_model}); squeezeformer/efficient_"
-            f"conformer conversion is planned")
+    if use_model not in ("conformer", "deepspeech2", "squeezeformer",
+                         "efficient_conformer"):
+        raise ValueError(f"unknown use_model: {use_model}")
     d = configs.dataset_conf
     tf = TextFeaturizer(d.dataset_vocab)
     norm = FeatureNormalizer(d.mean_istd_path)
@@ -75,11 +75,19 @@ def main():
         jnp.zeros((1, 67, input_dim)), jnp.asarray([67]),
         jnp.zeros((1, 4), jnp.int32), jnp.asarray([4]), train=False)
 
+    enc_conf = dict(configs.get("encoder_conf") or {})
+    bstats = {}
     if use_model == "conformer":
-        odim = dict(configs.get("encoder_conf") or {}).get("output_size", 256)
-        converted, misses = convert_conformer_family(sd, input_dim, odim)
-    else:
+        converted, misses = convert_conformer_family(
+            sd, input_dim, enc_conf.get("output_size", 256))
+    elif use_model == "deepspeech2":
         converted, misses = convert_deepspeech2(sd, input_dim)
+    elif use_model == "squeezeformer":
+        converted, bstats, misses = convert_squeezeformer(
+            sd, input_dim, enc_conf.get("encoder_dim", 256))
+    else:
+        converted, bstats, misses = convert_efficient_conformer(
+            sd, input_dim, enc_conf.get("output_size", 256))
     if misses:
         logger.warning(f"{len(misses)} torch params not mapped "
                        f"(first: {misses[:5]})")
@@ -87,6 +95,9 @@ def main():
                              strict=not misses)
     new_vars = dict(variables)
     new_vars["params"] = params
+    if bstats:
+        new_vars["batch_stats"] = apply_converted(
+            variables["batch_stats"], bstats, strict=not misses)
 
     out_dir = os.path.join(
         args.save_model_path,
