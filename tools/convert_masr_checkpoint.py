@@ -92,12 +92,13 @@ def main():
         logger.warning(f"{len(misses)} torch params not mapped "
                        f"(first: {misses[:5]})")
     params = apply_converted(variables["params"], converted,
-                             strict=not misses)
+                             strict=not misses, allow_extra=True)
     new_vars = dict(variables)
     new_vars["params"] = params
     if bstats:
         new_vars["batch_stats"] = apply_converted(
-            variables["batch_stats"], bstats, strict=not misses)
+            variables["batch_stats"], bstats, strict=not misses,
+            allow_extra=True)
 
     out_dir = os.path.join(
         args.save_model_path,
