@@ -31,17 +31,53 @@ INDEX_HTML = """<!doctype html>
 <html><head><meta charset="utf-8"><title>masr_tpu demo</title></head>
 <body>
 <h2>masr_tpu speech recognition</h2>
-<p>POST an audio file to <code>/recognition</code> or
-<code>/recognition_long_audio</code>; stream 16 kHz int16 PCM over the
-WebSocket port (send the bytes, finish with a text frame "end").</p>
+<p>POST an audio file to <code>/recognition</code> /
+<code>/recognition_long_audio</code>, or stream your microphone over the
+WebSocket port (16 kHz int16 PCM frames; finish with "end").</p>
+<h3>File</h3>
 <input type="file" id="f"/><button onclick="up()">recognize</button>
+<h3>Microphone (streaming)</h3>
+<button id="rec" onclick="toggleRec()">start recording</button>
 <pre id="out"></pre>
 <script>
+const WS_PORT = location.port ? (parseInt(location.port) + 1) : 5001;
 async function up() {
   const f = document.getElementById('f').files[0];
   const fd = new FormData(); fd.append('audio', f);
   const r = await fetch('/recognition', {method: 'POST', body: fd});
   document.getElementById('out').textContent = await r.text();
+}
+let ctx = null, ws = null, node = null, stream = null;
+async function toggleRec() {
+  const btn = document.getElementById('rec');
+  if (ctx) {  // stop: flush end marker
+    node.disconnect(); stream.getTracks().forEach(t => t.stop());
+    ws.send(new Uint8Array([101, 110, 100]));  // "end"
+    await ctx.close(); ctx = null;
+    btn.textContent = 'start recording';
+    return;
+  }
+  stream = await navigator.mediaDevices.getUserMedia({audio: {
+    sampleRate: 16000, channelCount: 1}});
+  ctx = new AudioContext({sampleRate: 16000});
+  ws = new WebSocket(`ws://${location.hostname}:${WS_PORT}/`);
+  ws.onmessage = (e) => {
+    const msg = JSON.parse(e.data);
+    document.getElementById('out').textContent =
+      (msg.is_end ? '[final] ' : '') + msg.result;
+  };
+  const src = ctx.createMediaStreamSource(stream);
+  node = ctx.createScriptProcessor(4096, 1, 1);
+  node.onaudioprocess = (e) => {
+    if (ws.readyState !== 1) return;
+    const f32 = e.inputBuffer.getChannelData(0);
+    const i16 = new Int16Array(f32.length);
+    for (let i = 0; i < f32.length; i++)
+      i16[i] = Math.max(-32768, Math.min(32767, f32[i] * 32768));
+    ws.send(i16.buffer);
+  };
+  src.connect(node); node.connect(ctx.destination);
+  btn.textContent = 'stop';
 }
 </script></body></html>"""
 
