@@ -33,11 +33,17 @@ def _subsampled_len(t):
 
 
 class MASRPredictor(object):
-    def __init__(self, model_dir, decoder="ctc_greedy", decoder_configs=None,
-                 use_pun=False, pun_model_dir=None, num_decoding_left_chunks=16,
-                 itn=False, warmup=True):
+    def __init__(self, model_dir=None, model_tag=None, decoder="ctc_greedy",
+                 decoder_configs=None, use_pun=False, pun_model_dir=None,
+                 num_decoding_left_chunks=16, itn=False, warmup=True):
         """Args mirror the reference's (predict.py:20-58) minus GPU flags:
-        model_dir is an exported inference bundle directory."""
+        model_dir is an exported inference bundle directory, or pass a
+        registered model_tag to auto-download into ~/.cache/masr_tpu."""
+        if model_dir is None:
+            if model_tag is None:
+                raise ValueError("provide model_dir or model_tag")
+            from masr_tpu.infer.model_zoo import get_model_dir
+            model_dir = get_model_dir(model_tag)
         self.model_dir = model_dir
         self.predictor = InferencePredictor(
             model_dir=model_dir,

@@ -84,6 +84,28 @@ def test_create_data(workdir, configs):
     assert vocab[-1].startswith("<eos>")
 
 
+def test_extract_features_roundtrip(workdir, configs):
+    """extract_features slabs must be consumable by MASRDataset via the
+    start_frame/end_frame path and match directly-computed features."""
+    from masr_tpu.training.trainer import MASRTrainer
+    from masr_tpu.data.dataset import MASRDataset
+    trainer = MASRTrainer(configs=dict(configs))
+    save_dir = str(workdir / "features")
+    trainer.extract_features(save_dir=save_dir)
+    feat_manifest = configs["dataset_conf"]["train_manifest"] + ".feature"
+    assert os.path.exists(feat_manifest)
+    ds_feat = MASRDataset(configs["preprocess_conf"], feat_manifest,
+                          configs["dataset_conf"]["dataset_vocab"])
+    ds_raw = MASRDataset(configs["preprocess_conf"],
+                         configs["dataset_conf"]["train_manifest"],
+                         configs["dataset_conf"]["dataset_vocab"])
+    f1, ids1 = ds_feat[0]
+    f2, ids2 = ds_raw[0]
+    assert f1.shape == f2.shape
+    np.testing.assert_allclose(f1, f2, atol=1e-5)
+    assert list(ids1) == list(ids2)
+
+
 def test_train_eval_export_predict(workdir, configs):
     from masr_tpu.training.trainer import MASRTrainer
     from masr_tpu.infer.predictor import MASRPredictor
