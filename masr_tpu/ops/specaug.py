@@ -1,0 +1,64 @@
+"""On-device SpecAugment (batched, rng-driven) and the fused
+fbank→SpecAugment input transform (BASELINE north star: feature frontend +
+augmentation as one jitted device program feeding HBM directly).
+
+The host pipeline (data/augmentation) covers the reference semantics; this
+module is the TPU path: masks are built from iota comparisons against
+random scalars, so one compiled program serves every draw, every batch.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from masr_tpu.ops.fbank import fbank_jax
+
+
+def _mask_axis(rng, shape, axis_len, max_width, n_masks, axis, length=None):
+    """Random zero-masks along `axis` of a (B, T, F) tensor → bool keep-mask."""
+    B = shape[0]
+    rngs = jax.random.split(rng, 2)
+    widths = jax.random.randint(rngs[0], (B, n_masks), 0, max_width + 1)
+    limit = axis_len if length is None else length[:, None]
+    starts = (jax.random.uniform(rngs[1], (B, n_masks))
+              * jnp.maximum(limit - widths, 1)).astype(jnp.int32)
+    pos = jnp.arange(axis_len)[None, None, :]          # (1, 1, L)
+    hit = (pos >= starts[..., None]) & (pos < (starts + widths)[..., None])
+    keep = ~jnp.any(hit, axis=1)                        # (B, L)
+    if axis == 1:
+        return keep[:, :, None]
+    return keep[:, None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("n_freq_masks", "n_time_masks",
+                                             "max_f", "max_t", "replace_with_zero"))
+def specaug_jax(feats, lens, rng, *, n_freq_masks=2, n_time_masks=2,
+                max_f=10, max_t=50, replace_with_zero=False):
+    """Batched SpecAugment on device (parity semantics:
+    augmentor/spec_augment.py — freq + time masks, zero-or-mean fill;
+    the PIL time-warp is host-only and intentionally omitted here).
+
+    feats: (B, T, F); lens: (B,) valid frames; → masked (B, T, F)."""
+    B, T, F = feats.shape
+    r1, r2 = jax.random.split(rng)
+    keep_f = _mask_axis(r1, feats.shape, F, max_f, n_freq_masks, axis=2)
+    keep_t = _mask_axis(r2, feats.shape, T, max_t, n_time_masks, axis=1,
+                        length=lens)
+    keep = keep_f & keep_t
+    if replace_with_zero:
+        fill = jnp.zeros((B, 1, 1), feats.dtype)
+    else:
+        valid = (jnp.arange(T)[None, :] < lens[:, None])[..., None]
+        fill = (jnp.sum(jnp.where(valid, feats, 0.0), axis=(1, 2))
+                / jnp.maximum(lens * F, 1))[:, None, None]
+    return jnp.where(keep, feats, fill.astype(feats.dtype))
+
+
+def fbank_specaug(waveform, lengths, rng, *, num_mel_bins=80, dither=1.0,
+                  **specaug_kwargs):
+    """Fused device input transform: int16-scale waveforms → fbank →
+    SpecAugment, one jitted program (north-star input pipeline)."""
+    r1, r2 = jax.random.split(rng)
+    feats, feat_lens = fbank_jax(waveform, lengths, r1,
+                                 num_mel_bins=num_mel_bins, dither=dither)
+    return specaug_jax(feats, feat_lens, r2, **specaug_kwargs), feat_lens
