@@ -10,7 +10,6 @@ kaiser_best for speech. Other containers (flac/mp3/opus) are handled via
 """
 import io as _io
 import os
-import struct
 import wave
 
 import numpy as np

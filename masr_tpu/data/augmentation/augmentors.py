@@ -5,7 +5,6 @@ Audio-domain augmentors mutate an AudioSegment in place; feature-domain
 augmentors return a new (T, F) ndarray. Each has its own Random instance
 seeded per-pipeline for reproducibility.
 """
-import random
 
 import numpy as np
 

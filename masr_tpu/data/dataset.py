@@ -14,7 +14,6 @@ from masr_tpu.audio import AudioSegment
 from masr_tpu.data.audio_featurizer import AudioFeaturizer
 from masr_tpu.data.augmentation import AugmentationPipeline
 from masr_tpu.data.manifest import read_manifest
-from masr_tpu.data.normalizer import FeatureNormalizer
 from masr_tpu.data.text_featurizer import TextFeaturizer
 
 

@@ -9,7 +9,6 @@ The combined shallow-fusion score matches the reference convention:
   alpha * log10 P_lm(word|ctx) + beta   (per completed word)
 """
 import gzip
-import math
 
 LOG10_NEG_INF = -99.0
 

@@ -14,7 +14,6 @@ import jax
 import jax.numpy as jnp
 
 from masr_tpu.data.audio_featurizer import AudioFeaturizer
-from masr_tpu.data.text_featurizer import TextFeaturizer
 from masr_tpu.decoders.greedy import GreedyChunkDecoder
 from masr_tpu.infer.predictor import (CACHED_FEATURE_NUM, CONTEXT,
                                       DECODING_WINDOW, STRIDE,

@@ -6,7 +6,6 @@ state. Full-context inputs are padded to length buckets so XLA compiles a
 handful of programs instead of one per utterance; the streaming chunk step
 compiles exactly once and keeps att/cnn caches on device between calls.
 """
-import functools
 
 import numpy as np
 import jax

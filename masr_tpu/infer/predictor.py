@@ -4,7 +4,6 @@ reset_stream, same streaming window math and result dicts).
 """
 import io
 import os
-import time
 
 import numpy as np
 
@@ -12,8 +11,7 @@ from masr_tpu.audio import AudioSegment
 from masr_tpu.data.audio_featurizer import AudioFeaturizer
 from masr_tpu.data.text_featurizer import TextFeaturizer
 from masr_tpu.decoders.beam_search import BeamSearchDecoder
-from masr_tpu.decoders.greedy import (GreedyChunkDecoder, greedy_decoder,
-                                      greedy_decoder_batch)
+from masr_tpu.decoders.greedy import GreedyChunkDecoder, greedy_decoder
 from masr_tpu.infer.inference_model import InferencePredictor
 from masr_tpu.utils.logger import setup_logger
 

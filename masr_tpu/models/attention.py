@@ -8,7 +8,6 @@ TPU-first notes:
   no dynamic concat-and-grow (reference attention.py:156-166 grows the
   cache; XLA needs static shapes, SURVEY.md §7 hard-parts).
 """
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

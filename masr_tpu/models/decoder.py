@@ -1,6 +1,5 @@
 """Transformer decoders for attention rescoring / hybrid loss
 (parity: masr/model_utils/transformer/decoder.py)."""
-from typing import Any
 
 import jax
 import jax.numpy as jnp

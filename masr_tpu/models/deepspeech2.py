@@ -6,7 +6,6 @@ through `get_encoder_out_chunk` (model.py:70-77 in the reference).
 """
 from typing import Any, Dict, Optional
 
-import jax
 import jax.numpy as jnp
 import flax.linen as nn
 

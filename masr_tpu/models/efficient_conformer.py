@@ -19,17 +19,15 @@ mask[:, ::g, ::g]) then decides visibility for the whole group, which can
 drop up to g-1 valid frames of the oldest context during the first
 few chunks.
 """
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, Optional
 
-import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from masr_tpu.models.attention import (MultiHeadedAttention, NEG_INF,
+from masr_tpu.models.attention import (MultiHeadedAttention,
                                        RelPositionMultiHeadedAttention,
                                        cache_key_mask)
 from masr_tpu.models.conformer import ConformerEncoderLayer, ConformerModel
-from masr_tpu.models.convolution import ConvolutionModule
 from masr_tpu.models.embedding import sinusoid_position_encoding
 from masr_tpu.models.positionwise import PositionwiseFeedForward
 from masr_tpu.models.subsampling import SUBSAMPLING_CLASSES, Conv2dSubsampling2

@@ -9,19 +9,16 @@ entries, de-duplicated by a stride-2 slice on the way in and re-inflated by
 repeat_interleave on the way out (encoder.py:334-351) — here with FIXED
 right-aligned shapes so one compiled chunk step serves the stream.
 """
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, List, Tuple
 
-import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from masr_tpu.models.attention import (MultiHeadedAttention,
-                                       RelPositionMultiHeadedAttention,
+from masr_tpu.models.attention import (RelPositionMultiHeadedAttention,
                                        cache_key_mask)
 from masr_tpu.models.conformer import ConformerModel
 from masr_tpu.models.convolution import ConvolutionModule
 from masr_tpu.models.embedding import sinusoid_position_encoding
-from masr_tpu.models.positionwise import PositionwiseFeedForward
 from masr_tpu.models.subsampling import DepthwiseConv2dSubsampling4
 from masr_tpu.ops.common import get_activation
 from masr_tpu.ops.masks import add_optional_chunk_mask, make_pad_mask

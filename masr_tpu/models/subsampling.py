@@ -6,7 +6,6 @@ All operate channels-last: x (B, T, F) → (B, T', odim). Each class reports
 `subsampling_rate` and `right_context` (frames of lookahead consumed),
 used by the streaming window math (predict.py:282-300 in the reference).
 """
-from typing import Any
 
 import jax.numpy as jnp
 import flax.linen as nn

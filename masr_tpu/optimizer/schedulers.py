@@ -3,7 +3,6 @@ trainer.py:215-241). Schedules are pure step→lr functions (optax style),
 replacing the reference's stateful torch LRScheduler classes; `set_step`
 semantics come free since the step is an argument.
 """
-import math
 
 import jax.numpy as jnp
 import optax

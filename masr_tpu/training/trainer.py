@@ -17,11 +17,10 @@ import jax
 import jax.numpy as jnp
 
 from masr_tpu.data.audio_featurizer import AudioFeaturizer
-from masr_tpu.data.collate import collate_fn
 from masr_tpu.data.dataset import MASRDataset
-from masr_tpu.data.loader import DataLoader
 from masr_tpu.data.manifest import (build_vocab, create_manifest,
-                                    create_noise_manifest, read_manifest)
+                                    create_noise_manifest)
+from masr_tpu.data.loader import DataLoader
 from masr_tpu.data.normalizer import FeatureNormalizer
 from masr_tpu.data.sampler import BatchShuffleSampler, ShardedBatchSampler
 from masr_tpu.data.text_featurizer import TextFeaturizer
@@ -34,7 +33,7 @@ from masr_tpu.training import checkpoints as ckpt
 from masr_tpu.training.logging_util import ScalarWriter
 from masr_tpu.training.train_state import (TrainState, make_eval_step,
                                            make_train_step)
-from masr_tpu.utils.config import dict_to_object, load_config, print_arguments
+from masr_tpu.utils.config import dict_to_object, load_config
 from masr_tpu.utils.logger import setup_logger
 from masr_tpu.utils.metrics import cer, wer
 

@@ -2,7 +2,6 @@
 trainer.py:52-56). Config keys mirror module constructor kwargs — encoder_conf /
 decoder_conf are splatted directly into model constructors, same as the reference.
 """
-import argparse
 import distutils.util
 import os
 
