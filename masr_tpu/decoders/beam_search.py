@@ -220,6 +220,12 @@ class BeamSearchDecoder(object):
         self._stream.step(np.asarray(probs_chunk, np.float32))
         return self._stream.result()
 
+    def nbest_state(self, n):
+        """Current stream's top-n prefixes → [(score, token_ids)]."""
+        if self._stream is None:
+            return []
+        return self._stream.result_nbest(n)
+
     def reset_state(self):
         if self._stream is not None:
             self._stream.reset()

@@ -50,6 +50,7 @@ class InferencePredictor(object):
         self._encode_hidden = jax.jit(self._encode_hidden_impl)
         self._rescore = jax.jit(self._rescore_impl,
                                 static_argnames=("reverse_weight",))
+        self._chunk_step_full = jax.jit(self._chunk_step_full_impl)
         self.state = None  # streaming state pytree
 
     # ------------------------------------------------------------------ #
@@ -71,6 +72,11 @@ class InferencePredictor(object):
         return self.model.apply(
             variables, encoder_out, encoder_len, hyps, hyps_lens,
             reverse_weight, method=type(self.model).rescore_hyps)
+
+    def _chunk_step_full_impl(self, variables, speech, state):
+        return self.model.apply(
+            variables, speech, state,
+            method=type(self.model).get_encoder_out_chunk_full)
 
     # ------------------------------------------------------------------ #
     def predict(self, speech, speech_lengths):
@@ -134,6 +140,15 @@ class InferencePredictor(object):
         probs, self.state = self._chunk_step(
             self.variables, jnp.asarray(x_chunk, jnp.float32), self.state)
         return np.asarray(probs)
+
+    def predict_chunk_full(self, x_chunk):
+        """Streaming step returning (probs, encoder hidden) — the hidden
+        chunk feeds end-of-utterance attention rescoring."""
+        if self.state is None:
+            self.init_stream_state(batch=x_chunk.shape[0])
+        probs, hidden, self.state = self._chunk_step_full(
+            self.variables, jnp.asarray(x_chunk, jnp.float32), self.state)
+        return np.asarray(probs), hidden
 
     def reset_stream(self):
         self.state = None

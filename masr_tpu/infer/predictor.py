@@ -92,6 +92,7 @@ class MASRPredictor(object):
         # streaming state
         self.remained_wav = None
         self.cached_feat = None
+        self._stream_hidden = []  # encoder chunks for two-pass rescoring
         self.greedy_chunk_decoder = GreedyChunkDecoder(
             self._text_featurizer.vocab_list)
         if warmup:
@@ -274,13 +275,19 @@ class MASRPredictor(object):
                 window = np.pad(window,
                                 ((0, 0), (0, DECODING_WINDOW - valid_len),
                                  (0, 0)))
-            probs = self.predictor.predict_chunk(window)
+            rescoring = (self.decoder == "attention_rescoring"
+                         and self.beam_search_decoder is not None)
+            if rescoring:
+                probs, hidden = self.predictor.predict_chunk_full(window)
+            else:
+                probs = self.predictor.predict_chunk(window)
             valid_out = max(_subsampled_len(valid_len), 0)
             probs = probs[:, :valid_out]
             if probs.shape[1] == 0:
                 continue
-            # streaming uses incremental beam/greedy; attention rescoring is
-            # an offline rerank, so rescoring configs stream with the beam
+            if rescoring:
+                self._stream_hidden.append(np.asarray(hidden)[:, :valid_out])
+            # partials stream from the incremental beam/greedy pass
             if self.beam_search_decoder is not None and self.decoder in (
                     "ctc_beam_search", "attention_rescoring"):
                 score, text = self.beam_search_decoder.decode_chunk(probs[0])
@@ -288,6 +295,24 @@ class MASRPredictor(object):
                 score, text = self.greedy_chunk_decoder.decode_chunk(probs[0])
         if end is not None:
             self.cached_feat = self.cached_feat[:, end - CACHED_FEATURE_NUM:, :]
+
+        # two-pass: rerank the CTC n-best with the attention decoder over
+        # the accumulated encoder states (U2-style second pass)
+        if is_end and self.decoder == "attention_rescoring" and \
+                self.beam_search_decoder is not None and self._stream_hidden:
+            nbest = self.beam_search_decoder.nbest_state(self.rescoring_nbest)
+            nbest = [(s, ids) for s, ids in nbest if ids]
+            if nbest:
+                enc = np.concatenate(self._stream_hidden, axis=1)
+                att_scores = self.predictor.rescore(
+                    enc, enc.shape[1], [ids for _, ids in nbest],
+                    reverse_weight=self.rescoring_reverse_weight,
+                    nbest_pad=self.rescoring_nbest)
+                totals = [a + self.rescoring_ctc_weight * s
+                          for a, (s, _) in zip(att_scores, nbest)]
+                best = int(np.argmax(totals))
+                text = self._text_featurizer.detokenize(nbest[best][1])
+                score = float(totals[best])
 
         if use_pun and is_end and text and self.pun_predictor is not None:
             text = self.pun_predictor(text)
@@ -300,6 +325,7 @@ class MASRPredictor(object):
         self.predictor.reset_stream()
         self.remained_wav = None
         self.cached_feat = None
+        self._stream_hidden = []
         self.greedy_chunk_decoder.reset()
         if self.beam_search_decoder is not None:
             self.beam_search_decoder.reset_state()

@@ -388,6 +388,22 @@ class ConformerModel(nn.Module):
         }
         return self.ctc.softmax(ys), new_state
 
+    def get_encoder_out_chunk_full(self, speech, state):
+        """Like get_encoder_out_chunk but also returns the encoder hidden
+        states — accumulated host-side for end-of-utterance attention
+        rescoring (U2-style two-pass streaming)."""
+        ys, att, cnn = self.encoder.forward_chunk(
+            speech, state["offset"], state["att_cache"], state["cnn_cache"],
+            state["cache_len"])
+        chunk = ys.shape[1]
+        C = state["att_cache"].shape[3]
+        new_state = {
+            "att_cache": att, "cnn_cache": cnn,
+            "offset": state["offset"] + chunk,
+            "cache_len": jnp.minimum(state["cache_len"] + chunk, C),
+        }
+        return self.ctc.softmax(ys), ys, new_state
+
     def ctc_logits(self, encoder_out):
         return self.ctc.logits(encoder_out)
 

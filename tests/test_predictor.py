@@ -112,6 +112,33 @@ def test_attention_rescoring_decoder(bundle_dir, test_wav_path):
     assert result["text"] in texts
 
 
+def test_streaming_two_pass_rescoring(bundle_dir, test_wav_path):
+    """U2-style streaming: incremental beam partials, attention rescoring
+    of the CTC n-best at utterance end over accumulated encoder states."""
+    import numpy as np
+    from masr_tpu.infer.predictor import MASRPredictor
+    from masr_tpu.audio import AudioSegment
+    p = MASRPredictor(bundle_dir, decoder="attention_rescoring",
+                      decoder_configs={"beam_size": 8, "rescoring_nbest": 4},
+                      warmup=False)
+    seg = AudioSegment.from_file(test_wav_path)
+    samples = seg.samples
+    step = 3200
+    final = None
+    for i in range(0, len(samples), step):
+        is_end = i + step >= len(samples)
+        out = p.predict_stream(samples[i:i + step], is_end=is_end,
+                               sample_rate=seg.sample_rate)
+        if out is not None:
+            final = out
+    # final text must be one of the stream's CTC n-best prefixes
+    nbest = p.beam_search_decoder.nbest_state(4)
+    texts = {p._text_featurizer.detokenize(ids) for _, ids in nbest}
+    p.reset_stream()
+    assert final is not None
+    assert final["text"] in texts
+
+
 def test_predict_long_runs(predictor, test_wav_path):
     result = predictor.predict_long(test_wav_path)
     assert set(result) == {"text", "score"}
