@@ -15,6 +15,7 @@ add_arg('configs',          str,   'configs/conformer.yml',  "配置文件")
 add_arg("use_gpu",          bool,  True,                     "是否使用加速器评估(兼容参数)")
 add_arg('display_result',   bool,  False,                    "是否打印每条识别结果")
 add_arg('resume_model',     str,   'models/conformer_streaming_fbank/best_model/', "模型的路径")
+add_arg('decoder',          str,   None,  "解码器: ctc_greedy | ctc_beam_search | attention_rescoring (默认用配置文件)")
 add_arg('overwrites',       str,   None,                     '覆盖配置文件中的参数，多个用逗号隔开')
 args = parser.parse_args()
 print_arguments(args=args)
@@ -23,6 +24,7 @@ trainer = MASRTrainer(configs=args.configs, use_gpu=args.use_gpu,
                       overwrites=args.overwrites)
 start = time.time()
 error_rate, loss = trainer.evaluate(resume_model=args.resume_model,
-                                    display_result=args.display_result)
+                                    display_result=args.display_result,
+                                    decoder=args.decoder)
 metrics_type = trainer.configs.get('metrics_type', 'cer')
 logger.info(f"消耗时间：{int(time.time() - start)}s, {metrics_type}: {error_rate:.5f}")

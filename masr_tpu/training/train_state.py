@@ -89,3 +89,20 @@ def make_eval_step(model):
         return out["loss"], probs, lens
 
     return eval_step
+
+
+def make_eval_step_rescoring(model):
+    """Eval step that also returns encoder hidden states, so attention
+    rescoring (reference trainer.py:323-345 dispatch, here extended with
+    the rescoring mode) reuses the same encode."""
+
+    def eval_step(params_vars, batch):
+        out = model.apply(params_vars, batch["inputs"], batch["input_lens"],
+                          batch["labels"], batch["label_lens"], train=False,
+                          rngs={"chunk": jax.random.PRNGKey(0)})
+        enc, probs, lens = model.apply(
+            params_vars, batch["inputs"], batch["input_lens"],
+            method=type(model).encode_for_rescoring)
+        return out["loss"], enc, probs, lens
+
+    return eval_step

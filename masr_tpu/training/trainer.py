@@ -32,6 +32,7 @@ from masr_tpu.parallel.mesh import (make_mesh, maybe_init_distributed,
 from masr_tpu.training import checkpoints as ckpt
 from masr_tpu.training.logging_util import ScalarWriter
 from masr_tpu.training.train_state import (TrainState, make_eval_step,
+                                           make_eval_step_rescoring,
                                            make_train_step)
 from masr_tpu.utils.config import dict_to_object, load_config
 from masr_tpu.utils.logger import setup_logger
@@ -323,8 +324,9 @@ class MASRTrainer(object):
                         f"{time.time() - epoch_start:.1f}s, "
                         f"mean loss {np.mean(losses):.4f}")
             if self.rank == 0:
+                # training-time eval forces greedy (trainer.py:520)
                 error, test_loss = self._evaluate_loader(
-                    test_loader, test_dataset)
+                    test_loader, test_dataset, decoder="ctc_greedy")
                 metric_name = self.configs.get("metrics_type", "cer")
                 logger.info(f"epoch {epoch + 1}: test {metric_name}={error:.5f} "
                             f"loss={test_loss:.4f}")
@@ -348,21 +350,110 @@ class MASRTrainer(object):
     # ------------------------------------------------------------------ #
     # evaluate
     # ------------------------------------------------------------------ #
-    def _evaluate_loader(self, loader, dataset, display_result=False):
-        eval_step = jax.jit(make_eval_step(self.model))
+    def _resolve_eval_decoder(self, vocab_list, decoder=None):
+        """Resolve the configured eval decoder and lazily build the beam
+        engine (parity: reference trainer.py:323-345 — eval decode honors
+        the YAML `decoder` key; published CERs are beam-search numbers)."""
+        decoder = decoder or self.configs.get("decoder", "ctc_greedy")
+        if decoder == "attention_rescoring" and self.use_model == "deepspeech2":
+            logger.warning("deepspeech2 has no attention decoder; eval "
+                           "attention_rescoring falls back to ctc_beam_search")
+            decoder = "ctc_beam_search"
+        if decoder in ("ctc_beam_search", "attention_rescoring"):
+            if getattr(self, "_eval_beam_decoder", None) is None:
+                from masr_tpu.decoders.beam_search import BeamSearchDecoder
+                conf = dict(self.configs.get(
+                    "ctc_beam_search_decoder_conf") or {})
+                for k in ("rescoring_nbest", "rescoring_ctc_weight",
+                          "rescoring_reverse_weight"):
+                    conf.pop(k, None)
+                try:
+                    self._eval_beam_decoder = BeamSearchDecoder(
+                        vocab_list, **conf)
+                except Exception as e:
+                    logger.warning(f"beam search decoder unavailable ({e}); "
+                                   f"falling back to ctc_greedy for eval")
+                    decoder = "ctc_greedy"
+        return decoder
+
+    def _rescore_batch(self, rescore_fn, variables, enc, probs, lens,
+                       tf, nbest_n, ctc_weight, reverse_weight):
+        """Per-utterance CTC n-best → attention-decoder rescoring over a
+        batch; hyps padded to fixed (nbest_n, L8) so the rescore program
+        compiles once per (batch T, L bucket)."""
+        results = []
+        for i in range(probs.shape[0]):
+            nbest = self._eval_beam_decoder.decode_nbest(
+                probs[i][: int(lens[i])], nbest_n)
+            nbest = [(s, ids) for s, ids in nbest if len(ids) > 0] or nbest
+            if not nbest or all(len(ids) == 0 for _, ids in nbest):
+                results.append((0.0, ""))
+                continue
+            L = max(max(len(ids) for _, ids in nbest), 1)
+            L = -(-L // 8) * 8
+            hyps = np.full((nbest_n, L), -1, np.int32)
+            hyp_lens = np.zeros((nbest_n,), np.int32)
+            for j, (_, ids) in enumerate(nbest[:nbest_n]):
+                hyps[j, : len(ids)] = ids
+                hyp_lens[j] = len(ids)
+            att = np.asarray(rescore_fn(
+                variables, enc[i:i + 1], jnp.asarray(int(lens[i])),
+                jnp.asarray(hyps), jnp.asarray(hyp_lens)))[: len(nbest)]
+            totals = [a + ctc_weight * s
+                      for a, (s, _) in zip(att, nbest)]
+            best = int(np.argmax(totals))
+            results.append((float(totals[best]),
+                            tf.detokenize(nbest[best][1])))
+        return results
+
+    def _evaluate_loader(self, loader, dataset, display_result=False,
+                         decoder=None):
         variables = self._variables()
         vocab_list = dataset.vocab_list
         tf = TextFeaturizer(self.configs.dataset_conf.dataset_vocab)
         metric = self.configs.get("metrics_type", "cer")
+        decoder = self._resolve_eval_decoder(vocab_list, decoder)
+        rescoring = decoder == "attention_rescoring"
+        if rescoring:
+            eval_step = jax.jit(make_eval_step_rescoring(self.model))
+            m_conf = self.configs.get("model_conf") or {}
+            d_conf = self.configs.get("decoder_conf") or {}
+            ctc_weight = float(m_conf.get("ctc_weight", 0.3))
+            reverse_weight = float(m_conf.get("reverse_weight", 0.0)) \
+                if int(d_conf.get("r_num_blocks", 0)) > 0 else 0.0
+            nbest_n = int((self.configs.get(
+                "ctc_beam_search_decoder_conf") or {}).get(
+                "rescoring_nbest", 10))
+            model = self.model
+            rescore_fn = jax.jit(
+                lambda v, e, el, h, hl: model.apply(
+                    v, e, el, h, hl, reverse_weight,
+                    method=type(model).rescore_hyps))
+        else:
+            eval_step = jax.jit(make_eval_step(self.model))
         errors, losses = [], []
         for batch in loader:
             if self.stop_eval:
                 break
             sharded = {k: jnp.asarray(v) for k, v in batch.items()}
-            loss, probs, lens = eval_step(variables, sharded)
+            if rescoring:
+                loss, enc, probs, lens = eval_step(variables, sharded)
+                probs, lens = np.asarray(probs), np.asarray(lens)
+                results = self._rescore_batch(
+                    rescore_fn, variables, enc, probs, lens, tf,
+                    nbest_n, ctc_weight, reverse_weight)
+            else:
+                loss, probs, lens = eval_step(variables, sharded)
+                probs, lens = np.asarray(probs), np.asarray(lens)
+                if decoder == "ctc_beam_search":
+                    results = self._eval_beam_decoder.\
+                        decode_batch_beam_search_offline(
+                            [probs[i][: int(lens[i])]
+                             for i in range(probs.shape[0])])
+                else:
+                    results = greedy_decoder_batch(probs, vocab_list,
+                                                   lens=lens)
             losses.append(float(loss))
-            results = greedy_decoder_batch(np.asarray(probs), vocab_list,
-                                           lens=np.asarray(lens))
             for i, (score, text) in enumerate(results):
                 L = batch["label_lens"][i]
                 target = tf.detokenize(batch["labels"][i][:L])
@@ -375,7 +466,10 @@ class MASRTrainer(object):
         return (float(np.mean(errors)) if errors else 1.0,
                 float(np.mean(losses)) if losses else 0.0)
 
-    def evaluate(self, resume_model="models/best_model", display_result=False):
+    def evaluate(self, resume_model="models/best_model", display_result=False,
+                 decoder=None):
+        """decoder=None honors the YAML `decoder` key (ctc_greedy |
+        ctc_beam_search | attention_rescoring); pass a name to override."""
         dataset, _, loader = self._setup_dataloader(False)
         if self.model is None:
             self._setup_model(dataset.feature_dim, dataset.vocab_size,
@@ -388,7 +482,8 @@ class MASRTrainer(object):
                 batch_stats=restored.get("batch_stats"))
             logger.info(f"loaded model from {resume_model}")
         start = time.time()
-        error, loss = self._evaluate_loader(loader, dataset, display_result)
+        error, loss = self._evaluate_loader(loader, dataset, display_result,
+                                            decoder=decoder)
         logger.info(f"evaluate done in {time.time() - start:.1f}s")
         return error, loss
 
