@@ -1,22 +1,78 @@
 """Voice activity detection (parity with the reference's
 masr/infer_utils/vad_predictor.py API: get_speech_timestamps + stream_vad).
 
-The reference wraps a silero ONNX LSTM via onnxruntime (not available in
-this image); this is a native adaptive energy + spectral-flatness detector
-with the same hysteresis / minimum-duration / padding / merging semantics
+Per-window speech probabilities come from the REAL silero-VAD model: the
+same `silero_vad.onnx` the reference bundles (vad_predictor.py:36-104) is
+executed by the in-repo numpy ONNX interpreter
+(masr_tpu/infer/onnx_runtime.py) — no onnxruntime needed. The hysteresis /
+minimum-duration / padding / merging semantics match the reference
 (vad_predictor.py:106-213): 512-sample windows @16 kHz, speech prob with
 threshold 0.5, neg_threshold = threshold - 0.15, min speech 250 ms, min
 silence 100 ms, 30 ms pad.
+
+If the model file is missing, an adaptive energy + spectral-flatness
+heuristic (the original fallback) keeps the same API working.
 """
+import os
+
 import numpy as np
+
+from masr_tpu.utils.logger import setup_logger
+
+logger = setup_logger()
+
+_SILERO_PATH = os.path.join(os.path.dirname(__file__), "silero_vad.onnx")
+
+
+class SileroVAD(object):
+    """The silero-VAD v3 model, run by the in-repo ONNX executor.
+
+    Stateful like the reference's onnxruntime session
+    (vad_predictor.py:73-104): h/c LSTM state (2, B, 64) carried between
+    512-sample windows; `reset_states()` between utterances/streams."""
+
+    def __init__(self, model_path=None):
+        from masr_tpu.infer.onnx_runtime import OnnxModel
+        self.model = OnnxModel(model_path or _SILERO_PATH)
+        expected = {"input", "sr", "h", "c"}
+        if set(self.model.input_names) != expected:
+            raise ValueError(
+                f"not a silero VAD graph: inputs {self.model.input_names}")
+        self.reset_states()
+
+    def reset_states(self, batch_size=1):
+        self._h = np.zeros((2, batch_size, 64), np.float32)
+        self._c = np.zeros((2, batch_size, 64), np.float32)
+
+    def __call__(self, x, sr=16000):
+        """x: (window,) or (B, window) float32 → speech prob scalar
+        (B=1) or (B,) array; LSTM state carried across calls."""
+        x = np.asarray(x, np.float32)
+        squeeze = x.ndim == 1
+        if squeeze:
+            x = x[None]
+        if x.shape[0] != self._h.shape[1]:
+            self.reset_states(x.shape[0])
+        out = self.model.run({"input": x, "sr": np.asarray(sr, np.int64),
+                              "h": self._h, "c": self._c})
+        self._h, self._c = out["hn"], out["cn"]
+        p = np.asarray(out["output"], np.float32).reshape(-1)
+        return float(p[0]) if squeeze else p
 
 
 class VADPredictor(object):
     def __init__(self, threshold=0.5, sampling_rate=16000,
-                 window_size_samples=512):
+                 window_size_samples=512, use_model=True, model_path=None):
         self.threshold = threshold
         self.sampling_rate = sampling_rate
         self.window_size_samples = window_size_samples
+        self.silero = None
+        if use_model:
+            try:
+                self.silero = SileroVAD(model_path)
+            except Exception as e:
+                logger.warning(f"silero VAD model unavailable ({e}); "
+                               f"using the energy/flatness heuristic")
         self.reset_states()
 
     # ------------------------------------------------------------------ #
@@ -37,6 +93,8 @@ class VADPredictor(object):
         return rms_db, flat
 
     def _speech_probs(self, wav):
+        if self.silero is not None:
+            return self._silero_probs(wav)
         rms_db, flat = self._frame_features(wav)
         if len(rms_db) == 0:
             return np.zeros(0)
@@ -46,6 +104,20 @@ class VADPredictor(object):
         p_energy = 1.0 / (1.0 + np.exp(-(snr - 9.0) / 3.0))
         p_tonal = 1.0 / (1.0 + np.exp((flat - 0.5) / 0.1))
         return 0.7 * p_energy + 0.3 * p_tonal
+
+    def _silero_probs(self, wav):
+        """Model-based per-window probs (vad_predictor.py:117-121 loop:
+        fresh LSTM state per utterance, zero-pad the last partial window)."""
+        win = self.window_size_samples
+        self.silero.reset_states()
+        n = -(-len(wav) // win) if len(wav) else 0
+        probs = np.zeros(n, np.float32)
+        for i in range(n):
+            frame = wav[i * win: (i + 1) * win]
+            if len(frame) < win:
+                frame = np.pad(frame, (0, win - len(frame)))
+            probs[i] = self.silero(frame, self.sampling_rate)
+        return probs
 
     # ------------------------------------------------------------------ #
     # offline segmentation (vad_predictor.py:106-175 semantics)
@@ -128,6 +200,8 @@ class VADPredictor(object):
         self._triggered = False
         self._temp_end = 0
         self._noise_floor = None
+        if self.silero is not None:
+            self.silero.reset_states()
 
     def stream_vad(self, chunk, sampling_rate=None,
                    min_silence_duration_ms=100, speech_pad_ms=30):
@@ -144,15 +218,20 @@ class VADPredictor(object):
             self._stream_buf = self._stream_buf[win:]
             pos = self._stream_pos
             self._stream_pos += win
-            rms_db = 20 * np.log10(np.sqrt(np.mean(frame ** 2) + 1e-12) + 1e-12)
-            if self._noise_floor is None:
-                self._noise_floor = rms_db
-            # slow noise-floor tracker (rises slowly, falls fast)
-            if rms_db < self._noise_floor:
-                self._noise_floor += 0.3 * (rms_db - self._noise_floor)
+            if self.silero is not None:
+                p = self.silero(frame, sr)
             else:
-                self._noise_floor += 0.02 * (rms_db - self._noise_floor)
-            p = 1.0 / (1.0 + np.exp(-((rms_db - self._noise_floor) - 9.0) / 3.0))
+                rms_db = 20 * np.log10(
+                    np.sqrt(np.mean(frame ** 2) + 1e-12) + 1e-12)
+                if self._noise_floor is None:
+                    self._noise_floor = rms_db
+                # slow noise-floor tracker (rises slowly, falls fast)
+                if rms_db < self._noise_floor:
+                    self._noise_floor += 0.3 * (rms_db - self._noise_floor)
+                else:
+                    self._noise_floor += 0.02 * (rms_db - self._noise_floor)
+                p = 1.0 / (1.0 + np.exp(
+                    -((rms_db - self._noise_floor) - 9.0) / 3.0))
             if p >= self.threshold and self._temp_end:
                 self._temp_end = 0
             if p >= self.threshold and not self._triggered:

@@ -7,7 +7,8 @@ setup(
     description="TPU-native streaming speech recognition framework "
                 "(JAX/XLA/Pallas) with the capability set of MASR",
     packages=find_packages(include=["masr_tpu", "masr_tpu.*"]),
-    package_data={"masr_tpu.decoders.native": ["*.cc"]},
+    package_data={"masr_tpu.decoders.native": ["*.cc"],
+                  "masr_tpu.infer": ["silero_vad.onnx"]},
     python_requires=">=3.10",
     install_requires=[
         "jax", "flax", "optax", "orbax-checkpoint", "numpy", "scipy",
