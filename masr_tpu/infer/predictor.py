@@ -33,7 +33,8 @@ def _subsampled_len(t):
 class MASRPredictor(object):
     def __init__(self, model_dir=None, model_tag=None, decoder="ctc_greedy",
                  decoder_configs=None, use_pun=False, pun_model_dir=None,
-                 num_decoding_left_chunks=16, itn=False, warmup=True):
+                 num_decoding_left_chunks=16, itn=False, warmup=True,
+                 fused_frontend=True):
         """Args mirror the reference's (predict.py:20-58) minus GPU flags:
         model_dir is an exported inference bundle directory, or pass a
         registered model_tag to auto-download into ~/.cache/masr_tpu."""
@@ -89,9 +90,16 @@ class MASRPredictor(object):
         self.inv_normalizer = None
         self._vad = None
         self.running = False
+        # fused on-device frontend (samples → fbank → encoder in ONE
+        # compiled program per window): fbank models only; the host
+        # featurize path stays for mfcc/linear and as an explicit opt-out
+        self.fused_frontend = bool(
+            fused_frontend and self.streaming
+            and pre.get("feature_method", "fbank") == "fbank")
         # streaming state
         self.remained_wav = None
         self.cached_feat = None
+        self._stream_samples = None  # fused-path raw sample buffer
         self._stream_hidden = []  # encoder chunks for two-pass rescoring
         self.greedy_chunk_decoder = GreedyChunkDecoder(
             self._text_featurizer.vocab_list)
@@ -222,27 +230,30 @@ class MASRPredictor(object):
                 "score": round(float(np.mean(scores)), 2) if scores else 0.0}
 
     # ------------------------------------------------------------------ #
-    def predict_stream(self, audio_data, is_end=False, use_pun=False,
-                       is_itn=False, channels=1, samp_width=2,
-                       sample_rate=16000):
-        """Streaming recognition (parity: predict.py:237-343 — identical
-        window math: window 67, stride 64, feature cache 3)."""
-        if not self.streaming:
-            raise RuntimeError(
-                f"model {self.use_model} was not exported as streaming")
-        if isinstance(audio_data, np.ndarray):
-            audio_data = AudioSegment.from_ndarray(audio_data, sample_rate)
-        elif isinstance(audio_data, bytes):
-            audio_data = AudioSegment.from_pcm_bytes(
-                audio_data, channels=channels, samp_width=samp_width,
-                sample_rate=sample_rate)
-        else:
-            raise TypeError(f"unsupported audio_data type: {type(audio_data)}")
+    def _decode_stream_window(self, probs, valid_out, rescoring,
+                              hidden=None):
+        """Shared per-window tail: trim to valid frames, stash hidden for
+        two-pass rescoring, advance the incremental beam/greedy decode."""
+        probs = probs[:, :valid_out]
+        if probs.shape[1] == 0:
+            return None
+        if rescoring and hidden is not None:
+            self._stream_hidden.append(np.asarray(hidden)[:, :valid_out])
+        if self.beam_search_decoder is not None and self.decoder in (
+                "ctc_beam_search", "attention_rescoring"):
+            return self.beam_search_decoder.decode_chunk(probs[0])
+        return self.greedy_chunk_decoder.decode_chunk(probs[0])
+
+    def _stream_step_host(self, audio_data, is_end):
+        """Host-featurize path (the reference's structure, predict.py:
+        267-330): fbank over the accumulated remainder on CPU, feature
+        cache windowing, feature windows to the device chunk step."""
         if self.remained_wav is None:
             self.remained_wav = audio_data
         else:
             self.remained_wav = AudioSegment(
-                np.concatenate([self.remained_wav.samples, audio_data.samples]),
+                np.concatenate([self.remained_wav.samples,
+                                audio_data.samples]),
                 audio_data.sample_rate)
 
         x_chunk = self._audio_featurizer.featurize(self.remained_wav)
@@ -265,6 +276,8 @@ class MASRPredictor(object):
         left_frames = CONTEXT if is_end else DECODING_WINDOW
 
         score, text, end = None, "", None
+        rescoring = (self.decoder == "attention_rescoring"
+                     and self.beam_search_decoder is not None)
         for cur in range(0, num_frames - left_frames + 1, STRIDE):
             end = min(cur + DECODING_WINDOW, num_frames)
             window = self.cached_feat[:, cur:end, :]
@@ -275,26 +288,110 @@ class MASRPredictor(object):
                 window = np.pad(window,
                                 ((0, 0), (0, DECODING_WINDOW - valid_len),
                                  (0, 0)))
-            rescoring = (self.decoder == "attention_rescoring"
-                         and self.beam_search_decoder is not None)
+            hidden = None
             if rescoring:
                 probs, hidden = self.predictor.predict_chunk_full(window)
             else:
                 probs = self.predictor.predict_chunk(window)
-            valid_out = max(_subsampled_len(valid_len), 0)
-            probs = probs[:, :valid_out]
-            if probs.shape[1] == 0:
-                continue
-            if rescoring:
-                self._stream_hidden.append(np.asarray(hidden)[:, :valid_out])
-            # partials stream from the incremental beam/greedy pass
-            if self.beam_search_decoder is not None and self.decoder in (
-                    "ctc_beam_search", "attention_rescoring"):
-                score, text = self.beam_search_decoder.decode_chunk(probs[0])
-            else:
-                score, text = self.greedy_chunk_decoder.decode_chunk(probs[0])
+            r = self._decode_stream_window(
+                probs, max(_subsampled_len(valid_len), 0), rescoring, hidden)
+            if r is not None:
+                score, text = r
         if end is not None:
             self.cached_feat = self.cached_feat[:, end - CACHED_FEATURE_NUM:, :]
+        return score, text
+
+    def _stream_step_fused(self, audio_data, is_end):
+        """Fused on-device frontend (VERDICT r1 item 5): the sample buffer
+        is windowed in the SAMPLE domain and each 67-frame window's fbank
+        runs inside the same compiled program as the encoder chunk step —
+        one device roundtrip per window, no host featurize, no feature
+        cache. Kaldi snip-edges frames are pure functions of their sample
+        window, so recomputing overlap frames from samples is exact.
+
+        Deviation from the host path (documented in
+        docs/design_deviations.md): dB-normalization gain is computed per
+        call over the raw unconsumed buffer and applied uniformly to the
+        call's windows, instead of the reference's normalize-the-mutated-
+        remainder-in-place semantics."""
+        sr = self._audio_featurizer.sample_rate
+        if audio_data.sample_rate != sr:
+            audio_data.resample(sr)
+        samples = audio_data.samples
+        if self._stream_samples is None:
+            self._stream_samples = samples
+        else:
+            self._stream_samples = np.concatenate(
+                [self._stream_samples, samples])
+        buf = self._stream_samples
+
+        hop = int(sr * 0.01)
+        wlen = int(sr * 0.025)
+        num_frames = 0 if len(buf) < wlen else 1 + (len(buf) - wlen) // hop
+        if num_frames < DECODING_WINDOW and not is_end:
+            return None
+        if num_frames < CONTEXT:
+            return None
+        left_frames = CONTEXT if is_end else DECODING_WINDOW
+        window_samples = (DECODING_WINDOW - 1) * hop + wlen
+
+        gain = 1.0
+        if self._audio_featurizer._use_dB_normalization:
+            ms = float(np.mean(buf.astype(np.float64) ** 2))
+            if ms > 0:
+                gain_db = self._audio_featurizer._target_dB \
+                    - 10.0 * np.log10(ms)
+                gain = float(10.0 ** (min(gain_db, 300.0) / 20.0))
+
+        score, text, end = None, "", None
+        rescoring = (self.decoder == "attention_rescoring"
+                     and self.beam_search_decoder is not None)
+        for cur in range(0, num_frames - left_frames + 1, STRIDE):
+            end = min(cur + DECODING_WINDOW, num_frames)
+            valid_len = end - cur
+            valid_samples = (valid_len - 1) * hop + wlen
+            seg = buf[cur * hop: cur * hop + window_samples]
+            if len(seg) < window_samples:
+                seg = np.pad(seg, (0, window_samples - len(seg)))
+            hidden = None
+            if rescoring:
+                probs, hidden = self.predictor.predict_chunk_samples(
+                    seg[None], gain=gain, length=valid_samples, full=True)
+            else:
+                probs = self.predictor.predict_chunk_samples(
+                    seg[None], gain=gain, length=valid_samples)
+            r = self._decode_stream_window(
+                probs, max(_subsampled_len(valid_len), 0), rescoring, hidden)
+            if r is not None:
+                score, text = r
+        if end is not None:
+            keep_from = max(end - CACHED_FEATURE_NUM, 0) * hop
+            self._stream_samples = buf[keep_from:]
+        return score, text
+
+    def predict_stream(self, audio_data, is_end=False, use_pun=False,
+                       is_itn=False, channels=1, samp_width=2,
+                       sample_rate=16000):
+        """Streaming recognition (parity: predict.py:237-343 — identical
+        window math: window 67, stride 64, feature cache 3)."""
+        if not self.streaming:
+            raise RuntimeError(
+                f"model {self.use_model} was not exported as streaming")
+        if isinstance(audio_data, np.ndarray):
+            audio_data = AudioSegment.from_ndarray(audio_data, sample_rate)
+        elif isinstance(audio_data, bytes):
+            audio_data = AudioSegment.from_pcm_bytes(
+                audio_data, channels=channels, samp_width=samp_width,
+                sample_rate=sample_rate)
+        else:
+            raise TypeError(f"unsupported audio_data type: {type(audio_data)}")
+        if self.fused_frontend:
+            ret = self._stream_step_fused(audio_data, is_end)
+        else:
+            ret = self._stream_step_host(audio_data, is_end)
+        if ret is None:
+            return None
+        score, text = ret
 
         # two-pass: rerank the CTC n-best with the attention decoder over
         # the accumulated encoder states (U2-style second pass)
@@ -325,6 +422,7 @@ class MASRPredictor(object):
         self.predictor.reset_stream()
         self.remained_wav = None
         self.cached_feat = None
+        self._stream_samples = None
         self._stream_hidden = []
         self.greedy_chunk_decoder.reset()
         if self.beam_search_decoder is not None:
