@@ -98,3 +98,70 @@ class Scorer(object):
         if self.lm is None:
             return self.beta
         return self.alpha * self.lm.log10_cond(context_words, word) + self.beta
+
+
+KENLM_MAGIC = b"mmap lm http://kheafield.com/code format version"
+
+
+def is_kenlm_binary(path):
+    """True iff `path` is a KenLM binary (.klm) — identified by the
+    format's magic sanity header, not the extension."""
+    try:
+        with open(path, "rb") as f:
+            return f.read(len(KENLM_MAGIC)) == KENLM_MAGIC
+    except OSError:
+        return False
+
+
+class KenlmScorer(object):
+    """Shallow-fusion scorer over a KenLM BINARY model (.klm) via the
+    `kenlm` pip package — the migration path for reference users' binary
+    LMs (their `paddlespeech_ctcdecoders` bundled KenLM; here the same
+    engine comes from `pip install kenlm`, swig_wrapper.py:9-34 parity).
+
+    Probing-format binaries store only n-gram hashes, so .klm → ARPA
+    conversion is information-theoretically impossible; scoring through
+    KenLM itself is the only faithful way to keep using them. Same
+    interface as `Scorer` (is_character_based, words_of, score_word),
+    so it drops into the Python beam engine unchanged.
+    """
+
+    def __init__(self, alpha, beta, language_model_path, vocabulary=None,
+                 character_based=None):
+        import kenlm  # gated: pip install kenlm
+        self._kenlm = kenlm
+        self.alpha = alpha
+        self.beta = beta
+        self.model = kenlm.Model(language_model_path)
+        self.is_character_based = self._detect_character_based() \
+            if character_based is None else bool(character_based)
+
+    def _detect_character_based(self):
+        """Char LMs (the reference's zh models) carry single CJK chars as
+        unigrams; word LMs don't."""
+        probes = ["的", "是", "我", "好", "天"]
+        try:
+            return any(p in self.model for p in probes)
+        except Exception:
+            return True
+
+    def words_of(self, text):
+        if self.is_character_based:
+            return [c for c in text if c != " "]
+        return [w for w in text.split(" ") if w]
+
+    def log10_cond(self, context, word):
+        """log10 P(word | context) by threading KenLM state through the
+        context (BaseScore returns the conditional log10 prob)."""
+        order = getattr(self.model, "order", 5)
+        st = self._kenlm.State()
+        self.model.NullContextWrite(st)  # no <s>: mid-utterance scoring
+        for w in list(context)[-(order - 1):]:
+            nxt = self._kenlm.State()
+            self.model.BaseScore(st, w, nxt)
+            st = nxt
+        out = self._kenlm.State()
+        return self.model.BaseScore(st, word, out)
+
+    def score_word(self, context_words, word):
+        return self.alpha * self.log10_cond(context_words, word) + self.beta
