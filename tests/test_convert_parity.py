@@ -149,7 +149,9 @@ def test_full_model_loss_parity(tmp_path):
     for key in ["loss", "loss_ctc", "loss_att"]:
         t_val = float(t_out[key if key != "loss_att" else "loss_att"])
         f_val = float(f_out[key])
-        assert abs(t_val - f_val) < 2e-2 * max(abs(t_val), 1.0), \
+        # tight tolerance (VERDICT r1: 2e-2 could hide a wrong label-
+        # smoothing normalization on a small vocab)
+        assert abs(t_val - f_val) < 2e-3 * max(abs(t_val), 1.0), \
             f"{key}: torch {t_val} vs flax {f_val}"
 
 

@@ -133,3 +133,121 @@ def test_efficient_conformer_encoder_parity():
     valid = np.asarray(f_mask[:, 0, :])
     diff = np.abs(t_out.numpy() - np.asarray(f_out))[valid]
     assert diff.max() < 3e-3, f"efficient_conformer diverges: {diff.max()}"
+
+
+# --------------------------------------------------------------------- #
+# converted-weights STREAMING parity (VERDICT r1 item 7): quantify the
+# grouped-attention warm-up drift on the reference's own weight
+# statistics (torch init + conversion), against the reference's own
+# chained forward_chunk — not random flax init.
+# --------------------------------------------------------------------- #
+def _build_converted_eff(eff, seed=13):
+    import jax
+    import jax.numpy as jnp
+    from masr.model_utils.efficient_conformer.encoder import \
+        EfficientConformerEncoder as TorchEnc
+    from masr_tpu.models.efficient_conformer import \
+        EfficientConformerEncoder as FlaxEnc
+    from masr_tpu.models.convert import (apply_converted,
+                                         convert_efficient_conformer)
+    torch.manual_seed(seed)
+    kw = dict(input_size=FEAT, output_size=32, attention_heads=2,
+              linear_units=48, num_blocks=4, dropout_rate=0.0,
+              positional_dropout_rate=0.0, attention_dropout_rate=0.0,
+              cnn_module_kernel=8, cnn_module_norm="layer_norm",
+              causal=True)
+    t_enc = TorchEnc(**kw, **eff)
+    t_enc.eval()
+    sd = {("encoder." + k): v.detach().numpy()
+          for k, v in t_enc.state_dict().items()}
+    params_c, _, misses = convert_efficient_conformer(
+        sd, FEAT, 32, group_layer_idx=eff["group_layer_idx"])
+    assert not misses
+    f_enc = FlaxEnc(**kw, efficient_conf=eff)
+    rs = np.random.RandomState(4)
+    x0 = rs.standard_normal((1, 67, FEAT)).astype(np.float32)
+    variables = f_enc.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(x0), jnp.asarray([67]),
+                           decoding_chunk_size=-1)
+    params = apply_converted({"encoder": variables["params"]}, params_c,
+                             strict=True)["encoder"]
+    return t_enc, f_enc, params
+
+
+def _stream_both(t_enc, f_enc, params, speech, n_chunks=4, cache=16):
+    """Chain torch forward_chunk (growing caches, reference predictor
+    semantics) and our fixed-shape chunk step over the same audio;
+    → list of (torch_out, flax_out) per chunk."""
+    import jax.numpy as jnp
+    window, stride = 19, 16  # chunk 4 post-subsampling, context 7
+    att = torch.zeros(0, 0, 0, 0)
+    cnn = torch.zeros(0, 0, 0, 0)
+    offset = 0
+    state = f_enc.apply({"params": params},
+                        method=lambda m: m.init_cache(batch=1,
+                                                      cache_size=cache))
+    pairs = []
+    for i in range(n_chunks):
+        xs = speech[:, i * stride: i * stride + window]
+        with torch.no_grad():
+            t_out, att, cnn = t_enc.forward_chunk(
+                torch.from_numpy(xs), offset, cache, att, cnn)
+        offset += t_out.shape[1]
+        f_out, f_att, f_cnn = f_enc.apply(
+            {"params": params}, jnp.asarray(xs), state["offset"],
+            state["att_cache"], state["cnn_cache"], state["cache_len"],
+            method=type(f_enc).forward_chunk)
+        full = f_out.shape[1] * f_enc.apply(
+            {"params": params}, method=lambda m: m.total_factor())
+        state = {"att_cache": f_att, "cnn_cache": f_cnn,
+                 "offset": state["offset"] + int(full),
+                 "cache_len": jnp.minimum(state["cache_len"] + int(full),
+                                          cache)}
+        pairs.append((t_out.numpy(), np.asarray(f_out)))
+    return pairs
+
+
+def test_eff_conformer_converted_stream_matches_torch_aligned():
+    """group_size=2 with 16-frame chunks → group boundaries align with
+    chunk boundaries: our fixed-cache stream must match the reference's
+    own chained forward_chunk tightly on converted weights."""
+    eff = dict(stride_layer_idx=[1], stride=[2], group_layer_idx=[0, 1],
+               group_size=2, stride_kernel=True)
+    t_enc, f_enc, params = _build_converted_eff(eff)
+    rs = np.random.RandomState(9)
+    speech = rs.standard_normal((1, 67, FEAT)).astype(np.float32)
+    pairs = _stream_both(t_enc, f_enc, params, speech)
+    for i, (t, f) in enumerate(pairs):
+        diff = np.abs(t - f).max()
+        assert diff < 5e-3, f"chunk {i}: aligned stream diverges {diff:.4f}"
+
+
+def test_eff_conformer_converted_stream_warmup_drift_bounded():
+    """group_size=3 (the reference default) with 16-frame chunks: group
+    boundaries quantize differently per window, so EVERY implementation
+    approximates — the reference's own chained forward_chunk deviates
+    from its full-context forward by ~0.10 mean on this configuration
+    (measured). Quantify OUR deviation from the same full-context truth
+    on converted weights and bound it relative to the reference's own:
+    comparable quality, not silently worse."""
+    import jax.numpy as jnp  # noqa: F401  (keeps jax initialized first)
+    eff = dict(stride_layer_idx=[1], stride=[2], group_layer_idx=[0, 1],
+               group_size=3, stride_kernel=True)
+    t_enc, f_enc, params = _build_converted_eff(eff)
+    rs = np.random.RandomState(10)
+    speech = rs.standard_normal((1, 67, FEAT)).astype(np.float32)
+    pairs = _stream_both(t_enc, f_enc, params, speech)
+    with torch.no_grad():
+        full, _ = t_enc(torch.from_numpy(speech),
+                        torch.from_numpy(np.array([67])),
+                        decoding_chunk_size=4, num_decoding_left_chunks=4)
+    full = full.numpy()
+    t_stream = np.concatenate([t for t, _ in pairs], axis=1)
+    f_stream = np.concatenate([f for _, f in pairs], axis=1)
+    n = t_stream.shape[1]
+    ref_drift = float(np.abs(t_stream - full[:, :n]).mean())
+    our_drift = float(np.abs(f_stream - full[:, :n]).mean())
+    assert ref_drift > 0.01, "reference stream unexpectedly exact"
+    assert our_drift < 1.5 * ref_drift + 1e-3, \
+        (f"our grouped-attention stream drifts {our_drift:.4f} from "
+         f"full-context truth vs the reference's own {ref_drift:.4f}")
