@@ -81,9 +81,10 @@ class MASRPredictor(object):
                            "attention_rescoring falls back to ctc_beam_search")
             self.decoder = "ctc_beam_search"
         self.pun_predictor = None
-        if use_pun and pun_model_dir:
+        if use_pun:
             try:
                 from masr_tpu.infer.punctuation import PunctuationPredictor
+                # pun_model_dir=None → in-repo rule-based restorer
                 self.pun_predictor = PunctuationPredictor(pun_model_dir)
             except Exception as e:
                 logger.warning(f"punctuation model unavailable: {e}")
