@@ -1,15 +1,24 @@
-"""Benchmark: streaming Conformer real-time factor per chip.
+"""Benchmark: streaming Conformer serving + training on one chip.
 
-Measures the full-size streaming conformer chunk step (the predict_stream
-hot path, SURVEY.md §3.5: 67 input frames → 16 encoder frames = 0.64 s of
-audio per step, device-resident att/cnn caches) on the available
-accelerator and reports real-time factor.
+Honest TPU numbers (VERDICT r1 item 4):
+  (a) end-to-end predict_stream latency — PCM bytes in → partial text out,
+      fused on-device frontend + incremental greedy decode included;
+  (b) single-stream and batched (B=32/128) serving in bf16, full-context
+      encode with the Pallas flash-attention path on/off;
+  (c) MFU for the serving and training steps (XLA-counted FLOPs /
+      wall-clock / chip bf16 peak).
 
-Baseline: the reference's streaming demo logs ~19–163 ms per 0.5 s chunk on
-the author's GPU (docs/infer.md:134-150, BASELINE.md) — midpoint 91 ms ⇒
-RTF ≈ 5.5×. `vs_baseline` is our_RTF / 5.5.
+Timing rules for this box (see CLAUDE.md): every timed iteration consumes
+DISTINCT inputs (the axon tunnel dedups identical requests) and forces a
+VALUE READBACK (`float(checksum)`) — `block_until_ready` returns early
+through the tunnel.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference's streaming demo logs ~19–163 ms per 0.5 s chunk
+on the author's GPU (docs/infer.md:134-150, BASELINE.md) — midpoint 91 ms
+⇒ RTF ≈ 5.5×. `vs_baseline` is our_RTF / 5.5.
+
+Prints ONE JSON line (first stdout line) with the headline metric plus
+the auxiliary fields; human-readable detail goes to stderr.
 """
 import json
 import sys
@@ -17,77 +26,277 @@ import time
 
 import numpy as np
 
+FEAT, VOCAB_SIZE = 80, 4000
+ENC = dict(output_size=256, attention_heads=4, linear_units=2048,
+           num_blocks=12, cnn_module_kernel=15)
+DEC = dict(attention_heads=4, linear_units=1024, num_blocks=3,
+           r_num_blocks=3)
+WINDOW, CHUNK = 67, 16
+AUDIO_PER_CHUNK = CHUNK * 4 * 0.01  # 16 frames × 40 ms = 0.64 s
 
-def main():
-    import masr_tpu
-    masr_tpu.enable_compilation_cache()
+# bf16 peak TFLOPS per chip by device kind substring
+_PEAKS = {"v5 lite": 197e12, "v5e": 197e12, "v4": 275e12, "v5p": 459e12,
+          "v5": 197e12, "v6 lite": 918e12, "v6e": 918e12, "v3": 123e12}
+
+
+def chip_peak_flops(device):
+    kind = device.device_kind.lower()
+    for key, peak in _PEAKS.items():
+        if key in kind:
+            return peak
+    return None
+
+
+def xla_flops(jitted, *args, **kwargs):
+    """XLA's own FLOP count for one execution, or None."""
+    try:
+        cost = jitted.lower(*args, **kwargs).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        f = cost.get("flops")
+        return float(f) if f and f > 0 else None
+    except Exception:
+        return None
+
+
+def log(msg):
+    print(f"# {msg}", file=sys.stderr)
+
+
+def build(dtype, use_flash=False):
+    import jax.numpy as jnp
+    from masr_tpu.models.cmvn import GlobalCMVN
+    from masr_tpu.models.registry import build_model
+    enc = dict(ENC, use_flash_attention=use_flash)
+    return build_model(
+        "conformer", FEAT, VOCAB_SIZE, streaming=True, encoder_conf=enc,
+        decoder_conf=DEC, model_conf=dict(ctc_weight=0.3),
+        cmvn=GlobalCMVN(np.zeros(FEAT), np.ones(FEAT)),
+        dtype=jnp.bfloat16 if dtype == "bf16" else jnp.float32)
+
+
+def init_vars(model):
     import jax
     import jax.numpy as jnp
-    from masr_tpu.models.registry import build_model
-    from masr_tpu.models.cmvn import GlobalCMVN
-
-    feat, vocab = 80, 4000
-    enc = dict(output_size=256, attention_heads=4, linear_units=2048,
-               num_blocks=12, cnn_module_kernel=15)
-    dec = dict(attention_heads=4, linear_units=1024, num_blocks=3,
-               r_num_blocks=3)
-    model = build_model(
-        "conformer", feat, vocab, streaming=True, encoder_conf=enc,
-        decoder_conf=dec, model_conf=dict(ctc_weight=0.3),
-        cmvn=GlobalCMVN(np.zeros(feat), np.ones(feat)))
-
     rng = jax.random.PRNGKey(0)
-    window, chunk = 67, 16
-    speech = jnp.asarray(
-        np.random.RandomState(0).standard_normal((1, window, feat)),
-        jnp.float32)
-    variables = jax.jit(model.init, static_argnames=("train",))(
+    return jax.jit(model.init, static_argnames=("train",))(
         {"params": rng, "dropout": rng, "chunk": rng},
-        speech, jnp.asarray([window]), jnp.ones((1, 4), jnp.int32),
-        jnp.asarray([4]), train=False)
+        jnp.zeros((1, WINDOW, FEAT)), jnp.asarray([WINDOW]),
+        jnp.ones((1, 4), jnp.int32), jnp.asarray([4]), train=False)
 
-    cache_size = chunk * 16  # 16 left chunks ≈ 10 s of context
-    init_state = model.apply(
-        variables, method=lambda m: m.encoder.init_cache(
-            batch=1, cache_size=cache_size))
 
-    @jax.jit
-    def step(variables, x, state):
-        return model.apply(variables, x, state,
-                           method=type(model).get_encoder_out_chunk)
-
-    # scan K DISTINCT chunk steps on device — a real 5-minute stream in one
-    # dispatch. K amortizes the per-call RTT of remote-execution tunnels,
-    # and timing forces a host readback of the checksum: on this image's
-    # axon tunnel, block_until_ready returns before execution finishes, so
-    # only a value fetch gives honest wall-clock.
-    K = 500
-    xs = jnp.asarray(np.random.RandomState(1).standard_normal(
-        (K, 1, window, feat)), jnp.float32)
+def bench_stream_scan(model, variables, batch, K):
+    """Scanned chunk stream: K distinct steps in one dispatch →
+    (per_step_s, flops_per_step)."""
+    import jax
+    import jax.numpy as jnp
+    cache_size = CHUNK * 16
+    state = model.apply(variables, method=lambda m: m.encoder.init_cache(
+        batch=batch, cache_size=cache_size))
+    xs = jnp.asarray(np.random.RandomState(batch).standard_normal(
+        (K, batch, WINDOW, FEAT)), jnp.float32)
 
     @jax.jit
     def stream(variables, xs, state):
         def body(st, x):
-            probs, st = model.apply(variables, x, st,
-                                    method=type(model).get_encoder_out_chunk)
-            return st, jnp.sum(probs)  # checksum depends on every output
+            probs, st = model.apply(
+                variables, x, st, method=type(model).get_encoder_out_chunk)
+            return st, jnp.sum(probs.astype(jnp.float32))
         st, out = jax.lax.scan(body, state, xs)
         return st, jnp.sum(out)
 
-    # warmup/compile
-    st, out = stream(variables, xs, init_state)
+    flops = xla_flops(stream, variables, xs, state)
+    st, out = stream(variables, xs, state)  # compile + warm
     float(out)
-
-    # timed runs (checksum readback = sync point)
     times = []
-    for _ in range(5):
+    for i in range(4):
+        # distinct inputs each run (tunnel dedup)
+        xs_i = xs + jnp.float32(1e-6 * (i + 1))
         t0 = time.perf_counter()
-        st, out = stream(variables, xs, st)
+        st, out = stream(variables, xs_i, st)
         float(out)
         times.append((time.perf_counter() - t0) / K)
-    per_chunk = float(np.median(times))
-    audio_per_chunk = chunk * 4 * 0.01  # 16 frames × 40 ms = 0.64 s
-    rtf = audio_per_chunk / per_chunk
+    return float(np.median(times)), (flops / K if flops else None)
+
+
+def bench_full_context(model, variables, batch, T, runs=4):
+    """Batched full-context encode (the serving `predict` path) →
+    (per_batch_s, flops)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def encode(variables, x, lens):
+        probs, out_lens = model.apply(variables, x, lens,
+                                      method=type(model).get_encoder_out)
+        return jnp.sum(probs.astype(jnp.float32))
+
+    lens = jnp.full((batch,), T, jnp.int32)
+    x0 = jnp.asarray(np.random.RandomState(7).standard_normal(
+        (batch, T, FEAT)), jnp.float32)
+    flops = xla_flops(encode, variables, x0, lens)
+    float(encode(variables, x0, lens))
+    times = []
+    for i in range(runs):
+        x = x0 + jnp.float32(1e-6 * (i + 1))
+        t0 = time.perf_counter()
+        float(encode(variables, x, lens))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)), flops
+
+
+def bench_e2e_stream(tmpdir):
+    """predict_stream end to end: PCM bytes → partial text, fused
+    frontend + greedy decode. → (p50_ms, p90_ms) per 0.64 s chunk call."""
+    import jax
+    from masr_tpu.infer.bundle import save_inference_bundle
+    from masr_tpu.infer.predictor import MASRPredictor
+    model = build("f32")
+    variables = init_vars(model)
+    vocab = ["<blank>", "<unk>"] + [f"t{i}" for i in range(VOCAB_SIZE - 3)] \
+        + ["<eos>"]
+    save_inference_bundle(
+        tmpdir, "conformer", True, FEAT, vocab, np.zeros(FEAT),
+        np.ones(FEAT), ENC, DEC, dict(ctc_weight=0.3),
+        {"feature_method": "fbank", "n_mels": FEAT,
+         "use_dB_normalization": False}, jax.device_get(variables))
+    p = MASRPredictor(tmpdir, decoder="ctc_greedy", warmup=False)
+    assert p.fused_frontend
+    sr = 16000
+    rs = np.random.RandomState(3)
+    step_samples = int(AUDIO_PER_CHUNK * sr)  # 0.64 s per call
+    # prime: one full utterance (compiles the fused chunk program)
+    wav = (rs.standard_normal(step_samples * 4) * 0.1).astype(np.float32)
+    for i in range(0, len(wav), step_samples):
+        p.predict_stream((wav[i:i + step_samples] * 32768).astype(
+            np.int16).tobytes(), is_end=i + step_samples >= len(wav))
+    p.reset_stream()
+    # timed: 60 chunk calls of distinct audio
+    lat = []
+    for k in range(60):
+        pcm = (rs.standard_normal(step_samples) * 0.1 * 32768).astype(
+            np.int16).tobytes()
+        t0 = time.perf_counter()
+        r = p.predict_stream(pcm, is_end=False)
+        lat.append(time.perf_counter() - t0)
+        assert r is None or isinstance(r["text"], str)
+    p.predict_stream(b"\x00\x00" * 160, is_end=True)
+    p.reset_stream()
+    lat = np.asarray(lat) * 1000
+    return float(np.percentile(lat, 50)), float(np.percentile(lat, 90))
+
+
+def bench_train_step():
+    """Full-size conformer train step, B=16 × 12 s, bf16 AMP →
+    (per_step_s, flops)."""
+    import jax
+    import jax.numpy as jnp
+    from masr_tpu.optimizer.schedulers import build_optimizer
+    from masr_tpu.training.train_state import TrainState, make_train_step
+    model = build("bf16")
+    variables = init_vars(model)
+    tx, _ = build_optimizer(
+        {"optimizer": "Adam", "learning_rate": 1e-3, "weight_decay": 1e-6,
+         "scheduler": "WarmupLR", "scheduler_conf": {"warmup_steps": 25000}},
+        grad_clip=5.0, accum_grad=1)
+    state = TrainState.create(model.apply, variables["params"], tx,
+                              variables.get("batch_stats"))
+    B, T, L = 16, 1200, 30
+    rs = np.random.RandomState(0)
+    batch0 = {
+        "inputs": jnp.asarray(rs.standard_normal((B, T, FEAT)), jnp.float32),
+        "input_lens": jnp.full((B,), T, jnp.int32),
+        "labels": jnp.asarray(rs.randint(2, VOCAB_SIZE - 1, (B, L)),
+                              jnp.int32),
+        "label_lens": jnp.full((B,), L, jnp.int32)}
+    step = jax.jit(make_train_step(model, tx))
+    rng = jax.random.PRNGKey(0)
+    flops = xla_flops(step, state, batch0, rng)
+    state, m = step(state, batch0, rng)
+    float(m["loss"])
+    times = []
+    for i in range(3):
+        batch = dict(batch0)
+        batch["inputs"] = batch0["inputs"] + jnp.float32(1e-6 * (i + 1))
+        t0 = time.perf_counter()
+        state, m = step(state, batch, rng)
+        float(m["loss"])
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)), flops
+
+
+def mfu(flops, secs, peak):
+    if flops is None or peak is None or secs <= 0:
+        return None
+    return round(flops / secs / peak, 4)
+
+
+def main():
+    import tempfile
+
+    import masr_tpu
+    masr_tpu.enable_compilation_cache()
+    import jax
+    dev = jax.devices()[0]
+    peak = chip_peak_flops(dev)
+    log(f"device: {dev.device_kind}; bf16 peak: "
+        f"{peak / 1e12 if peak else float('nan'):.0f} TFLOPS")
+
+    # (headline) single-stream streaming RTF, f32 — metric continuity r1
+    model_f32 = build("f32")
+    vars_f32 = init_vars(model_f32)
+    per_chunk, chunk_flops = bench_stream_scan(model_f32, vars_f32,
+                                               batch=1, K=500)
+    rtf = AUDIO_PER_CHUNK / per_chunk
+    log(f"single-stream chunk step: {per_chunk * 1e3:.2f} ms "
+        f"({rtf:.0f}x realtime, f32)")
+
+    # e2e predict_stream (fused frontend + decode, f32)
+    with tempfile.TemporaryDirectory() as td:
+        p50_e2e, p90_e2e = bench_e2e_stream(td)
+    log(f"e2e predict_stream per 0.64 s chunk: p50 {p50_e2e:.1f} ms, "
+        f"p90 {p90_e2e:.1f} ms (pcm→text incl. fused fbank + greedy)")
+
+    # batched streaming serving, bf16
+    model_bf16 = build("bf16")
+    vars_bf16 = init_vars(model_bf16)
+    serving = {}
+    for B in (32, 128):
+        per_step, flops = bench_stream_scan(model_bf16, vars_bf16,
+                                            batch=B, K=50)
+        streams_rtf = B * AUDIO_PER_CHUNK / per_step
+        serving[B] = dict(ms=per_step * 1e3,
+                          rtf=streams_rtf,
+                          mfu=mfu(flops, per_step, peak))
+        log(f"batched streaming B={B} (bf16): {per_step * 1e3:.2f} ms/step, "
+            f"{streams_rtf:.0f}x realtime/chip, MFU {serving[B]['mfu']}")
+
+    # batched full-context encode (serving `predict`), bf16, flash on/off
+    T_full = 1200  # 12 s utterances
+    full = {}
+    for flash in (False, True):
+        key = "flash" if flash else "xla"
+        try:
+            model_fc = build("bf16", use_flash=flash)
+            vars_fc = init_vars(model_fc)
+            secs, flops = bench_full_context(model_fc, vars_fc, batch=32,
+                                             T=T_full)
+        except Exception as e:  # pallas needs a real TPU backend
+            log(f"full-context {key} attention unavailable: {e}")
+            full[key] = dict(ms=None, rtf=None, mfu=None)
+            continue
+        audio_s = 32 * T_full * 0.01
+        full[key] = dict(
+            ms=secs * 1e3, rtf=audio_s / secs, mfu=mfu(flops, secs, peak))
+        log(f"full-context encode B=32×12 s (bf16, {key} attention): "
+            f"{secs * 1e3:.1f} ms, {audio_s / secs:.0f}x realtime, "
+            f"MFU {full[key]['mfu']}")
+
+    # training step
+    train_secs, train_flops = bench_train_step()
+    train_mfu = mfu(train_flops, train_secs, peak)
+    log(f"train step B=16×12 s (bf16 AMP): {train_secs * 1e3:.1f} ms/step, "
+        f"MFU {train_mfu}")
 
     baseline_rtf = 5.5  # reference GPU streaming demo midpoint (BASELINE.md)
     print(json.dumps({
@@ -95,27 +304,21 @@ def main():
         "value": round(rtf, 2),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(rtf / baseline_rtf, 3),
+        "p50_e2e_ms": round(p50_e2e, 2),
+        "p90_e2e_ms": round(p90_e2e, 2),
+        "serving_b32_rtf": round(serving[32]["rtf"], 1),
+        "serving_b32_mfu": serving[32]["mfu"],
+        "serving_b128_rtf": round(serving[128]["rtf"], 1),
+        "serving_b128_mfu": serving[128]["mfu"],
+        "full_context_b32_rtf_xla":
+            round(full["xla"]["rtf"], 1) if full["xla"]["rtf"] else None,
+        "full_context_b32_rtf_flash":
+            round(full["flash"]["rtf"], 1) if full["flash"]["rtf"] else None,
+        "full_context_b32_mfu": full["xla"]["mfu"],
+        "train_step_ms": round(train_secs * 1e3, 1),
+        "train_mfu": train_mfu,
+        "device": dev.device_kind,
     }))
-    print(f"# single-stream per-chunk latency: {per_chunk * 1000:.2f} ms for "
-          f"{audio_per_chunk * 1000:.0f} ms audio; device: "
-          f"{jax.devices()[0].device_kind}", file=sys.stderr)
-
-    # serving throughput: 32 concurrent streams per chip
-    Bs = 32
-    state_b = model.apply(
-        variables, method=lambda m: m.encoder.init_cache(
-            batch=Bs, cache_size=cache_size))
-    xs_b = jnp.asarray(np.random.RandomState(2).standard_normal(
-        (50, Bs, window, feat)), jnp.float32)
-    st_b, out_b = stream(variables, xs_b, state_b)
-    float(out_b)
-    t0 = time.perf_counter()
-    st_b, out_b = stream(variables, xs_b, st_b)
-    float(out_b)
-    step_b = (time.perf_counter() - t0) / 50
-    print(f"# batched streaming: B={Bs}, {step_b * 1000:.2f} ms/step, "
-          f"total {Bs * audio_per_chunk / step_b:.0f}x realtime/chip, "
-          f"p50 chunk latency {step_b * 1000:.1f} ms", file=sys.stderr)
 
 
 if __name__ == "__main__":
