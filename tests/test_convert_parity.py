@@ -14,6 +14,7 @@ torch = pytest.importorskip("torch")
 
 @pytest.fixture(scope="module", autouse=True)
 def ref_path():
+    injected = []
     # the reference's import chain pulls optional audio libs; stub them
     for name in ["av", "soundfile", "resampy", "pydub", "zhconv",
                  "torchaudio", "torchaudio.compliance",
@@ -26,9 +27,13 @@ def ref_path():
             mod.convert = lambda *a, **k: a[0] if a else ""  # zhconv symbol
             mod.mfcc = mod.fbank = None  # torchaudio kaldi symbols
             sys.modules[name] = mod
+            injected.append(name)
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
     yield
+    # restore: leaked fakes break later transformers/torchaudio imports
+    for name in injected:
+        sys.modules.pop(name, None)
 
 
 FEAT, VOCAB = 80, 40

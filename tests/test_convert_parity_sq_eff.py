@@ -12,6 +12,7 @@ torch = pytest.importorskip("torch")
 
 @pytest.fixture(scope="module", autouse=True)
 def ref_path():
+    injected = []
     for name in ["av", "soundfile", "resampy", "pydub", "zhconv",
                  "torchaudio", "torchaudio.compliance",
                  "torchaudio.compliance.kaldi"]:
@@ -23,6 +24,7 @@ def ref_path():
             mod.convert = lambda *a, **k: a[0] if a else ""
             mod.mfcc = mod.fbank = None
             sys.modules[name] = mod
+            injected.append(name)
     # the reference's Conv2dValid imports private typing symbols removed
     # from newer torch; restore them
     import torch.nn.modules.conv as tconv
@@ -31,6 +33,9 @@ def ref_path():
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
     yield
+    # restore: leaked fakes break later transformers/torchaudio imports
+    for name in injected:
+        sys.modules.pop(name, None)
 
 
 FEAT = 80
