@@ -41,7 +41,10 @@ def shard_batch(batch, mesh, axis_name="data"):
     """Place a host batch dict onto the mesh, sharded on the leading axis.
     Pads the batch to a multiple of the mesh size if needed (padded rows get
     zero lengths so they contribute nothing to the loss)."""
-    n = mesh.devices.size
+    # pad to the DATA axis size (a 2-D dp×tp mesh shards the batch on
+    # "data" only; rows replicate across the model axis)
+    n = dict(zip(mesh.axis_names, mesh.devices.shape)).get(
+        axis_name, mesh.devices.size)
     sharding = NamedSharding(mesh, P(axis_name))
 
     def put(x):

@@ -67,7 +67,16 @@ class MASRTrainer(object):
         import masr_tpu
         masr_tpu.enable_compilation_cache()
         maybe_init_distributed()
-        self.mesh = make_mesh()
+        # train_conf.tensor_parallel > 1 → 2-D dp×tp mesh with
+        # Megatron-style param shardings (masr_tpu/parallel/tp.py);
+        # default is the reference-equivalent pure data parallel
+        self.tensor_parallel = int(self.configs.get(
+            "train_conf", {}).get("tensor_parallel", 1) or 1)
+        if self.tensor_parallel > 1:
+            from masr_tpu.parallel.tp import make_mesh_2d
+            self.mesh = make_mesh_2d(self.tensor_parallel)
+        else:
+            self.mesh = make_mesh()
         self.rank = jax.process_index()
         self.num_hosts = jax.process_count()
 
@@ -255,7 +264,11 @@ class MASRTrainer(object):
             self.state = self.state.replace(params=params)
             logger.info(f"loaded pretrained weights from {pretrained_model}")
 
-        self.state = replicate(self.state, self.mesh)
+        if self.tensor_parallel > 1:
+            from masr_tpu.parallel.tp import shard_train_state
+            self.state = shard_train_state(self.state, self.mesh)
+        else:
+            self.state = replicate(self.state, self.mesh)
         train_step = jax.jit(make_train_step(self.model, self.state.tx),
                              donate_argnums=(0,))
         rng = jax.random.PRNGKey(self.configs.get("seed", 0))

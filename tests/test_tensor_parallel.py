@@ -167,3 +167,81 @@ def test_tp_serving_encode_matches_single_device(model_and_batch):
     np.testing.assert_allclose(np.asarray(probs_tp), np.asarray(probs_ref),
                                atol=2e-5)
     np.testing.assert_array_equal(np.asarray(lens_tp), np.asarray(lens_ref))
+
+
+def test_trainer_with_tensor_parallel_config(tmp_path):
+    """MASRTrainer honors train_conf.tensor_parallel: builds the 2-D mesh,
+    shards the state, and trains with finite losses."""
+    from masr_tpu.audio.io import write_wave
+    from masr_tpu.parallel.mesh import shard_batch as sb
+    from masr_tpu.training.trainer import MASRTrainer
+    import os
+    os.makedirs(tmp_path / "dataset" / "annotation", exist_ok=True)
+    rs = np.random.RandomState(0)
+    lines = []
+    for i, text in enumerate(["你好", "天气", "你好天气", "好天"] * 2):
+        n = int(16000 * (0.7 + 0.05 * i))
+        sig = (0.2 * np.sin(2 * np.pi * (200 + 50 * i)
+                            * np.arange(n) / 16000)
+               + 0.01 * rs.standard_normal(n)).astype(np.float32)
+        p = tmp_path / f"u{i}.wav"
+        write_wave(p, sig, 16000)
+        lines.append(f"{p}\t{text}")
+    (tmp_path / "dataset" / "annotation" / "train.txt").write_text(
+        "\n".join(lines), encoding="utf-8")
+    (tmp_path / "dataset" / "annotation" / "test.txt").write_text(
+        "\n".join(lines[:2]), encoding="utf-8")
+    d = str(tmp_path)
+    cfg = {
+        "use_model": "conformer", "streaming": False,
+        "decoder": "ctc_greedy", "metrics_type": "cer",
+        "encoder_conf": {"output_size": 32, "attention_heads": 2,
+                         "linear_units": 64, "num_blocks": 1,
+                         "cnn_module_kernel": 7},
+        "decoder_conf": {"attention_heads": 2, "linear_units": 64,
+                         "num_blocks": 1, "r_num_blocks": 0},
+        "model_conf": {"ctc_weight": 0.5, "lsm_weight": 0.1},
+        "dataset_conf": {
+            "batch_size": 8, "num_workers": 0, "min_duration": 0,
+            "max_duration": 20,
+            "train_manifest": f"{d}/dataset/manifest.train",
+            "test_manifest": f"{d}/dataset/manifest.test",
+            "dataset_vocab": f"{d}/dataset/vocabulary.txt",
+            "mean_istd_path": f"{d}/dataset/mean_istd.json",
+            "manifest_type": "txt", "init_label_len": 4},
+        "preprocess_conf": {"feature_method": "fbank", "n_mels": 80,
+                            "sample_rate": 16000,
+                            "use_dB_normalization": True, "target_dB": -20},
+        "optimizer_conf": {"optimizer": "Adam", "weight_decay": 1e-6,
+                           "learning_rate": 1e-3, "scheduler": "WarmupLR",
+                           "scheduler_conf": {"warmup_steps": 10,
+                                              "min_lr": 1e-5}},
+        "train_conf": {"enable_amp": False, "grad_clip": 5.0,
+                       "accum_grad": 1, "max_epoch": 1, "log_interval": 1,
+                       "tensor_parallel": 2},
+        "log_dir": f"{d}/log",
+    }
+    trainer = MASRTrainer(configs=cfg)
+    assert trainer.tensor_parallel == 2
+    assert dict(zip(trainer.mesh.axis_names,
+                    trainer.mesh.devices.shape)) == {"data": 4, "model": 2}
+    trainer.create_data(annotation_path=f"{d}/dataset/annotation",
+                        noise_dir=None, num_samples=-1, count_threshold=1)
+    from masr_tpu.parallel.tp import shard_train_state  # noqa: F401
+    from masr_tpu.training.train_state import make_train_step
+    dataset, sampler, loader = trainer._setup_dataloader(True, None)
+    trainer._setup_model(dataset.feature_dim, dataset.vocab_size,
+                         is_train=True)
+    trainer.state = shard_train_state(trainer.state, trainer.mesh)
+    step = jax.jit(make_train_step(trainer.model, trainer.state.tx))
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    for batch in loader:
+        with trainer.mesh:
+            trainer.state, m = step(trainer.state, sb(batch, trainer.mesh),
+                                    rng)
+        losses.append(float(m["loss"]))
+    assert losses and all(np.isfinite(v) for v in losses)
+    q = trainer.state.params["encoder"]["layer_0"]["self_attn"][
+        "linear_q"]["kernel"]
+    assert not q.sharding.is_fully_replicated
