@@ -160,7 +160,8 @@ def test_full_model_loss_parity(tmp_path):
             f"{key}: torch {t_val} vs flax {f_val}"
 
 
-def test_ds2_encoder_parity():
+@pytest.mark.parametrize("use_gru", [False, True])
+def test_ds2_encoder_parity(use_gru):
     import jax
     import jax.numpy as jnp
     from masr.model_utils.deepspeech2.encoder import CRNNEncoder
@@ -169,7 +170,8 @@ def test_ds2_encoder_parity():
 
     torch.manual_seed(3)
     t_enc = CRNNEncoder(input_dim=FEAT, vocab_size=VOCAB, num_rnn_layers=2,
-                        rnn_size=24, rnn_direction="forward", use_gru=False)
+                        rnn_size=24, rnn_direction="forward",
+                        use_gru=use_gru)
     t_enc.eval()
     sd = {("encoder." + k): v.detach().numpy()
           for k, v in t_enc.state_dict().items()}
@@ -177,7 +179,7 @@ def test_ds2_encoder_parity():
     assert not misses, f"unmapped torch params: {misses[:5]}"
 
     f_enc = FlaxCRNN(input_dim=FEAT, num_rnn_layers=2, rnn_size=24,
-                     rnn_direction="forward")
+                     rnn_direction="forward", use_gru=use_gru)
     rs = np.random.RandomState(1)
     x = rs.standard_normal((2, 67, FEAT)).astype(np.float32)
     lens = np.array([67, 67])
