@@ -119,29 +119,41 @@ def bench_stream_scan(model, variables, batch, K):
     return float(np.median(times)), (flops / K if flops else None)
 
 
-def bench_full_context(model, variables, batch, T, runs=4):
+def bench_full_context(model, variables, batch, T, K=16, runs=3):
     """Batched full-context encode (the serving `predict` path) →
-    (per_batch_s, flops)."""
+    (per_batch_s, flops). K encodes run inside ONE jitted scan so the
+    remote-tunnel round-trip (~40 ms/dispatch on this box) does not
+    pollute the per-batch time."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def encode(variables, x, lens):
-        probs, out_lens = model.apply(variables, x, lens,
-                                      method=type(model).get_encoder_out)
+    def encode_k(variables, x, lens):
+        def body(c, i):
+            probs, _ = model.apply(
+                variables, x + 1e-6 * i.astype(jnp.float32), lens,
+                method=type(model).get_encoder_out)
+            return c + jnp.sum(probs.astype(jnp.float32)), None
+        c, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(K))
+        return c
+
+    @jax.jit
+    def encode_1(variables, x, lens):
+        probs, _ = model.apply(variables, x, lens,
+                               method=type(model).get_encoder_out)
         return jnp.sum(probs.astype(jnp.float32))
 
     lens = jnp.full((batch,), T, jnp.int32)
     x0 = jnp.asarray(np.random.RandomState(7).standard_normal(
         (batch, T, FEAT)), jnp.float32)
-    flops = xla_flops(encode, variables, x0, lens)
-    float(encode(variables, x0, lens))
+    flops = xla_flops(encode_1, variables, x0, lens)
+    float(encode_k(variables, x0, lens))
     times = []
     for i in range(runs):
         x = x0 + jnp.float32(1e-6 * (i + 1))
         t0 = time.perf_counter()
-        float(encode(variables, x, lens))
-        times.append(time.perf_counter() - t0)
+        float(encode_k(variables, x, lens))
+        times.append((time.perf_counter() - t0) / K)
     return float(np.median(times)), flops
 
 
@@ -209,19 +221,35 @@ def bench_train_step():
         "labels": jnp.asarray(rs.randint(2, VOCAB_SIZE - 1, (B, L)),
                               jnp.int32),
         "label_lens": jnp.full((B,), L, jnp.int32)}
-    step = jax.jit(make_train_step(model, tx))
+    step_fn = make_train_step(model, tx)
     rng = jax.random.PRNGKey(0)
-    flops = xla_flops(step, state, batch0, rng)
-    state, m = step(state, batch0, rng)
-    float(m["loss"])
+    flops = xla_flops(jax.jit(step_fn), state, batch0, rng)
+
+    # K chained optimizer steps inside ONE jitted scan: per-step time is
+    # free of the remote-tunnel dispatch RTT, matching how a real train
+    # loop pipelines (async dispatch hides host latency)
+    K = 8
+
+    @jax.jit
+    def steps_k(state, batch, rng):
+        def body(st, i):
+            b = dict(batch)
+            b["inputs"] = batch["inputs"] + 1e-6 * i.astype(jnp.float32)
+            st, m = step_fn(st, b, jax.random.fold_in(rng, i))
+            return st, m["loss"]
+        st, losses = jax.lax.scan(body, state, jnp.arange(K))
+        return st, jnp.sum(losses)
+
+    state, s = steps_k(state, batch0, rng)
+    float(s)
     times = []
     for i in range(3):
         batch = dict(batch0)
-        batch["inputs"] = batch0["inputs"] + jnp.float32(1e-6 * (i + 1))
+        batch["inputs"] = batch0["inputs"] + jnp.float32(1e-5 * (i + 1))
         t0 = time.perf_counter()
-        state, m = step(state, batch, rng)
-        float(m["loss"])
-        times.append(time.perf_counter() - t0)
+        state, s = steps_k(state, batch, rng)
+        float(s)
+        times.append((time.perf_counter() - t0) / K)
     return float(np.median(times)), flops
 
 
@@ -255,7 +283,9 @@ def main():
     with tempfile.TemporaryDirectory() as td:
         p50_e2e, p90_e2e = bench_e2e_stream(td)
     log(f"e2e predict_stream per 0.64 s chunk: p50 {p50_e2e:.1f} ms, "
-        f"p90 {p90_e2e:.1f} ms (pcm→text incl. fused fbank + greedy)")
+        f"p90 {p90_e2e:.1f} ms (pcm→text incl. fused fbank + greedy; "
+        f"includes per-call dispatch transport — ~40 ms RTT through this "
+        f"box's remote-TPU tunnel, sub-ms on a local chip)")
 
     # batched streaming serving, bf16
     model_bf16 = build("bf16")
