@@ -17,6 +17,7 @@ add_arg('use_pun',         bool, False,  "是否给识别结果加标点符号")
 add_arg('is_itn',          bool, False,  "是否对文本进行反标准化")
 add_arg('decoder',         str,  'ctc_greedy', "解码器，支持 ctc_greedy、ctc_beam_search")
 add_arg('pun_model_dir',   str,  None,   "标点符号的模型文件夹路径")
+add_arg('max_streams',     int,  0,      "并发流式识别路数(>1 时用批量引擎，一次编译步进所有流)")
 args = parser.parse_args()
 print_arguments(args=args)
 
@@ -26,5 +27,5 @@ predictor = MASRPredictor(model_dir=args.model_dir, decoder=args.decoder,
 
 server = ASRServer(predictor, host=args.host, port=args.port,
                    ws_port=args.ws_port, use_pun=args.use_pun,
-                   is_itn=args.is_itn)
+                   is_itn=args.is_itn, max_streams=args.max_streams)
 server.start(block=True)

@@ -84,7 +84,15 @@ async function toggleRec() {
 
 class ASRServer(object):
     def __init__(self, predictor, host="0.0.0.0", port=5000, ws_port=None,
-                 use_pun=False, is_itn=False):
+                 use_pun=False, is_itn=False, max_streams=0):
+        """max_streams > 1 serves that many CONCURRENT WebSocket streams
+        through the batched engine (masr_tpu.infer.batch_stream): one
+        compiled vmapped chunk step per tick, per-connection slots.
+        max_streams <= 1 keeps the single-predictor path; a second
+        concurrent streaming connection is rejected with a busy error
+        (the reference's never-enforced `running` guard, infer_server.py:
+        107, enforced for real — interleaving two streams into one
+        predictor state would corrupt both)."""
         self.predictor = predictor
         self.host = host
         self.port = port
@@ -93,6 +101,15 @@ class ASRServer(object):
         self.is_itn = is_itn
         self._predict_lock = threading.Lock()  # predictor is not reentrant
         self._httpd = None
+        self._stream_busy = False
+        self.batch_session = None
+        if max_streams and max_streams > 1:
+            from masr_tpu.infer.batch_stream import BatchStreamSession
+            self.batch_session = BatchStreamSession(
+                predictor.predictor, predictor._text_featurizer.vocab_list,
+                preprocess_conf=dict(
+                    predictor.predictor.meta.get("preprocess_conf") or {}),
+                max_streams=max_streams)
 
     # ------------------------------ REST ------------------------------- #
     def _make_handler(server):
@@ -176,7 +193,83 @@ class ASRServer(object):
         return Handler
 
     # --------------------------- WebSocket ----------------------------- #
+    # ---------------- batched multi-stream WS path -------------------- #
+    def _feed_slot(self, slot, samples, is_end):
+        with self._predict_lock:
+            return self.batch_session.feed(slot, samples, is_end=is_end)
+
+    async def _ws_handler_batched(self, websocket):
+        import asyncio as aio
+        with self._predict_lock:
+            try:
+                slot = self.batch_session.open()
+            except RuntimeError as e:
+                slot = None
+                err = str(e)
+        if slot is None:
+            await websocket.send(json.dumps({"code": 1, "msg": err},
+                                            ensure_ascii=False))
+            await websocket.close()
+            return
+        logger.info(f"websocket session from {websocket.remote_address} "
+                    f"→ stream slot {slot}")
+
+        async def finish(result):
+            nonlocal slot
+            final = result or {"text": "", "score": 0.0}
+            await websocket.send(json.dumps(
+                {"code": 0, "is_end": True, "result": final["text"],
+                 "score": final.get("score")}, ensure_ascii=False))
+            # fresh state for the next utterance on this connection
+            with self._predict_lock:
+                self.batch_session.close(slot)
+                slot = self.batch_session.open()
+
+        try:
+            async for message in websocket:
+                if isinstance(message, (bytes, bytearray)):
+                    is_end = message.endswith(b"end")
+                    payload = message[:-3] if is_end else bytes(message)
+                    samples = (np.frombuffer(payload, np.int16)
+                               .astype(np.float32) / 32768.0) if payload \
+                        else np.zeros(0, np.float32)
+                    result = await aio.to_thread(self._feed_slot, slot,
+                                                 samples, is_end)
+                    if is_end:
+                        await finish(result)
+                    elif result is not None:
+                        await websocket.send(json.dumps(
+                            {"code": 0, "is_end": False,
+                             "result": result["text"]}, ensure_ascii=False))
+                elif message == "end":
+                    result = await aio.to_thread(
+                        self._feed_slot, slot, np.zeros(160, np.float32),
+                        True)
+                    await finish(result)
+        except Exception as e:
+            logger.warning(f"websocket session ended: {e}")
+        finally:
+            with self._predict_lock:
+                self.batch_session.close(slot)
+
     async def _ws_handler(self, websocket):
+        if self.batch_session is not None:
+            await self._ws_handler_batched(websocket)
+            return
+        # single-predictor path: enforce one streaming session at a time
+        # (two interleaved streams would corrupt one shared stream state)
+        with self._predict_lock:
+            busy = self._stream_busy
+            if not busy:
+                self._stream_busy = True
+        if busy:
+            await websocket.send(json.dumps(
+                {"code": 1, "msg": "busy: another streaming session is "
+                                   "active; start the server with "
+                                   "--max_streams N for concurrency"},
+                ensure_ascii=False))
+            await websocket.close()
+            return
         logger.info(f"websocket session from {websocket.remote_address}")
         try:
             async for message in websocket:
@@ -215,6 +308,7 @@ class ASRServer(object):
         finally:
             with self._predict_lock:
                 self.predictor.reset_stream()
+                self._stream_busy = False
 
     async def _serve_ws(self):
         import websockets

@@ -144,3 +144,144 @@ def test_websocket_streaming(server, test_wav_path):
     assert len(results) >= 1
     assert results[-1]["is_end"] is True
     assert "result" in results[-1]
+
+
+@pytest.fixture(scope="module")
+def batched_server(tmp_path_factory):
+    """Same tiny bundle, served with max_streams=4 (batched WS engine)."""
+    import jax
+    from masr_tpu.infer.bundle import save_inference_bundle
+    from masr_tpu.infer.predictor import MASRPredictor
+    from masr_tpu.infer.server import ASRServer
+    from masr_tpu.models.registry import build_model
+    from masr_tpu.models.cmvn import GlobalCMVN
+    import jax.numpy as jnp
+
+    FEAT = 80
+    vocab = ["<blank>", "<unk>", "你", "好", "<space>", "<eos>"]
+    out = tmp_path_factory.mktemp("srv_bundle_batched")
+    enc = dict(output_size=32, attention_heads=2, linear_units=32,
+               num_blocks=1, cnn_module_kernel=7)
+    dec = dict(attention_heads=2, linear_units=32, num_blocks=1,
+               r_num_blocks=0)
+    model = build_model("conformer", FEAT, len(vocab), streaming=True,
+                        encoder_conf=enc, decoder_conf=dec,
+                        model_conf=dict(ctc_weight=0.5),
+                        cmvn=GlobalCMVN(np.zeros(FEAT), np.ones(FEAT)))
+    rng = jax.random.PRNGKey(0)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": rng, "dropout": rng, "chunk": rng},
+        jnp.zeros((1, 67, FEAT)), jnp.asarray([67]),
+        jnp.zeros((1, 4), jnp.int32), jnp.asarray([4]), train=False)
+    save_inference_bundle(str(out), "conformer", True, FEAT, vocab,
+                          np.zeros(FEAT), np.ones(FEAT), enc, dec,
+                          dict(ctc_weight=0.5),
+                          {"feature_method": "fbank", "n_mels": FEAT},
+                          variables)
+    predictor = MASRPredictor(str(out), decoder="ctc_greedy", warmup=False)
+    port = _free_port()
+    ws_port = _free_port()
+    srv = ASRServer(predictor, host="127.0.0.1", port=port, ws_port=ws_port,
+                    max_streams=4)
+    srv.start(block=False)
+    import time
+    time.sleep(0.5)
+    yield {"port": port, "ws_port": ws_port, "predictor": predictor}
+    srv.stop()
+
+
+def _make_pcm(freq, seconds=1.5, sr=16000, seed=0):
+    rs = np.random.RandomState(seed)
+    t = np.arange(int(seconds * sr)) / sr
+    sig = 0.3 * np.sin(2 * np.pi * freq * t) \
+        + 0.02 * rs.standard_normal(len(t))
+    return (np.clip(sig, -1, 1) * 32767).astype(np.int16).tobytes()
+
+
+async def _stream_ws(uri, pcm, step=16000):
+    import websockets
+    final = None
+    async with websockets.connect(uri) as ws:
+        for i in range(0, len(pcm), step):
+            chunk = pcm[i:i + step]
+            last = i + step >= len(pcm)
+            await ws.send(chunk + b"end" if last else chunk)
+            if last:
+                while True:
+                    msg = json.loads(await ws.recv())
+                    if msg.get("is_end"):
+                        final = msg
+                        break
+            else:
+                try:
+                    await asyncio.wait_for(ws.recv(), timeout=0.2)
+                except asyncio.TimeoutError:
+                    pass
+    return final
+
+
+def test_batched_ws_concurrent_sessions_isolated(batched_server):
+    """Two simultaneous WS streams with different audio through the
+    batched engine must match their single-stream baselines (no state
+    mixing across slots)."""
+    uri = f"ws://127.0.0.1:{batched_server['ws_port']}/"
+    pcm_a = _make_pcm(300, seed=1)
+    pcm_b = _make_pcm(1200, seed=2)
+
+    # baselines, run alone
+    base_a = asyncio.run(_stream_ws(uri, pcm_a))
+    base_b = asyncio.run(_stream_ws(uri, pcm_b))
+    assert base_a is not None and base_b is not None
+
+    async def both():
+        return await asyncio.gather(_stream_ws(uri, pcm_a),
+                                    _stream_ws(uri, pcm_b))
+
+    got_a, got_b = asyncio.run(both())
+    assert got_a["result"] == base_a["result"]
+    assert got_b["result"] == base_b["result"]
+
+
+def test_batched_ws_slot_overflow_rejected(batched_server):
+    """A 5th concurrent connection on a 4-slot server gets a busy error."""
+    import websockets
+    uri = f"ws://127.0.0.1:{batched_server['ws_port']}/"
+
+    async def run():
+        conns = []
+        for _ in range(4):
+            conns.append(await websockets.connect(uri))
+        try:
+            async with websockets.connect(uri) as ws5:
+                msg = json.loads(await ws5.recv())
+                assert msg["code"] == 1 and "slots" in msg["msg"]
+        finally:
+            for c in conns:
+                await c.close()
+
+    asyncio.run(run())
+
+
+def test_single_predictor_ws_busy_guard(server, test_wav_path):
+    """Without the batched engine, a second concurrent streaming
+    connection is rejected instead of silently corrupting the shared
+    stream state."""
+    import websockets
+    uri = f"ws://127.0.0.1:{server['ws_port']}/"
+    pcm = _make_pcm(500, seconds=1.0)
+
+    async def run():
+        async with websockets.connect(uri) as ws1:
+            await ws1.send(pcm[:16000])
+            await asyncio.sleep(0.3)  # let the handler claim the stream
+            async with websockets.connect(uri) as ws2:
+                msg = json.loads(await ws2.recv())
+                assert msg["code"] == 1 and "busy" in msg["msg"]
+            await ws1.send(pcm[16000:] + b"end")
+            while True:
+                m = json.loads(await ws1.recv())
+                if m.get("is_end"):
+                    return m
+
+    final = asyncio.run(run())
+    assert final["code"] == 0
