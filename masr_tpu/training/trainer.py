@@ -504,9 +504,11 @@ class MASRTrainer(object):
     # export
     # ------------------------------------------------------------------ #
     def export(self, save_model_path="models/",
-               resume_model="models/best_model", half: bool = False):
-        """Checkpoint → inference bundle (trainer.py:653-697); half=True
-        writes bf16 params (quantized-export analogue)."""
+               resume_model="models/best_model", half: bool = False,
+               quant: str = None):
+        """Checkpoint → inference bundle (trainer.py:653-697). quant:
+        'bf16' (half=True alias) or 'int8' (weight-only per-channel, the
+        dynamic-quantization analogue, 4× smaller artifact)."""
         from masr_tpu.infer.bundle import save_inference_bundle
         d = self.configs.dataset_conf
         featurizer = AudioFeaturizer(train=False,
@@ -530,7 +532,7 @@ class MASRTrainer(object):
             tf.vocab_list, norm.mean, norm.istd,
             self.configs.get("encoder_conf"), self.configs.get("decoder_conf"),
             self.configs.get("model_conf"), self.configs.preprocess_conf,
-            jax.device_get(variables), half=half)
+            jax.device_get(variables), half=half, quant=quant)
         logger.info(f"inference bundle exported to {out_dir}")
         return out_dir
 

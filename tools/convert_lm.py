@@ -100,7 +100,6 @@ def filter_arpa(in_path, vocab_path, out_path):
             words = parts[1].split()
             if all(w in keep for w in words):
                 sections[order].append(s)
-    total_in = None
     with open(out_path, "w", encoding="utf-8") as f:
         f.write("\\data\\\n")
         for o in sorted(sections):
@@ -113,7 +112,7 @@ def filter_arpa(in_path, vocab_path, out_path):
     counts = {o: len(v) for o, v in sections.items()}
     print(f"filtered {in_path} -> {out_path}: "
           f"{sum(counts.values())} n-grams kept {counts}")
-    return 0 if total_in is None else 0
+    return 0
 
 
 def validate(path):
