@@ -48,6 +48,20 @@ class AudioFeaturizer(object):
         from masr_tpu.audio import AudioSegment
         return self.featurize(AudioSegment(samples, sample_rate))
 
+    def prepare_waveform(self, audio_segment):
+        """The host half of the on-device frontend: resample + dB-normalize
+        + int16 scaling only (the cheap scalar work); fbank/dither/
+        SpecAugment run inside the compiled train step
+        (masr_tpu.ops.specaug.fbank_specaug). → float32 samples at int16
+        scale."""
+        if self._feature_method not in ("fbank", "mfcc"):
+            raise ValueError("on-device frontend supports fbank/mfcc only")
+        if audio_segment.sample_rate != self._target_sample_rate:
+            audio_segment.resample(self._target_sample_rate)
+        if self._use_dB_normalization:
+            audio_segment.normalize(target_db=self._target_dB)
+        return audio_segment.to("int16").astype(np.float32)
+
     @property
     def feature_dim(self):
         if self._feature_method == "linear":

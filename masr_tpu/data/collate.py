@@ -36,3 +36,27 @@ def collate_fn(batch, feature_bucket=16, label_bucket=8, shuffle=True, rng=None)
         label_lens[i] = len(lab)
     return {"inputs": inputs, "input_lens": input_lens,
             "labels": labels, "label_lens": label_lens}
+
+
+def collate_waveforms(batch, sample_bucket=16000, label_bucket=8,
+                      shuffle=True, rng=None):
+    """Raw-waveform collate for the on-device frontend: (samples (S,),
+    ids) items → {"inputs": (B, Smax) f32, "input_lens": samples, ...};
+    sample_bucket (default 1 s) bounds the number of compiled shapes."""
+    if shuffle:
+        order = (rng or np.random).permutation(len(batch))
+        batch = [batch[i] for i in order]
+    max_s = bucket_length(max(len(w) for w, _ in batch), sample_bucket)
+    max_l = max(1, bucket_length(max(len(l) for _, l in batch), label_bucket))
+    B = len(batch)
+    inputs = np.zeros((B, max_s), dtype=np.float32)
+    labels = np.full((B, max_l), -1, dtype=np.int32)
+    input_lens = np.zeros(B, dtype=np.int32)
+    label_lens = np.zeros(B, dtype=np.int32)
+    for i, (wav, lab) in enumerate(batch):
+        inputs[i, :len(wav)] = wav
+        labels[i, :len(lab)] = lab
+        input_lens[i] = len(wav)
+        label_lens[i] = len(lab)
+    return {"inputs": inputs, "input_lens": input_lens,
+            "labels": labels, "label_lens": label_lens}

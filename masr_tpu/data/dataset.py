@@ -20,8 +20,15 @@ from masr_tpu.data.text_featurizer import TextFeaturizer
 class MASRDataset(object):
     def __init__(self, preprocess_configs, data_manifest, vocab_filepath,
                  manifest_type="txt", min_duration=0.0, max_duration=20.0,
-                 augmentation_config="{}", train=False, seed=None):
+                 augmentation_config="{}", train=False, seed=None,
+                 return_waveform=False):
+        """return_waveform=True: __getitem__ yields (samples (S,), ids) —
+        dB-normalized int16-scale float32 audio with HOST augmentation
+        applied but NO featurize; fbank + SpecAugment then run inside the
+        compiled train step (the on-device frontend,
+        dataset_conf.on_device_frontend)."""
         cfg = dict(preprocess_configs)
+        self.return_waveform = bool(return_waveform)
         self._audio_featurizer = AudioFeaturizer(train=train, **cfg)
         self._text_featurizer = TextFeaturizer(vocab_filepath) if vocab_filepath else None
         self._augmentation_pipeline = AugmentationPipeline(
@@ -51,9 +58,13 @@ class MASRDataset(object):
         return len(self.entries) if self.entries is not None else len(self._reader)
 
     def __getitem__(self, idx):
-        """→ (features (T, F) float32, token_ids int32 ndarray)."""
+        """→ (features (T, F) float32, token_ids int32 ndarray); raw mode
+        returns (samples (S,) float32 at int16 scale, token_ids)."""
         entry = self._entry(idx)
         if "start_frame" in entry:  # precomputed feature slab
+            if self.return_waveform:
+                raise ValueError("on-device frontend cannot consume "
+                                 "precomputed feature manifests")
             slab = np.load(entry["audio_filepath"], mmap_mode="r")
             feature = np.array(slab[entry["start_frame"]:entry["end_frame"]],
                                dtype=np.float32)
@@ -67,8 +78,11 @@ class MASRDataset(object):
             text = entry["text"]
             if self._augmentation_pipeline is not None:
                 self._augmentation_pipeline.transform_audio(segment)
-            feature = self._audio_featurizer.featurize(segment)
-        if self._augmentation_pipeline is not None:
+            if self.return_waveform:
+                feature = self._audio_featurizer.prepare_waveform(segment)
+            else:
+                feature = self._audio_featurizer.featurize(segment)
+        if self._augmentation_pipeline is not None and not self.return_waveform:
             feature = self._augmentation_pipeline.transform_feature(feature)
         if self._text_featurizer is not None:
             ids = np.asarray(self._text_featurizer.featurize(text), dtype=np.int32)

@@ -55,10 +55,42 @@ def specaug_jax(feats, lens, rng, *, n_freq_masks=2, n_time_masks=2,
 
 
 def fbank_specaug(waveform, lengths, rng, *, num_mel_bins=80, dither=1.0,
-                  **specaug_kwargs):
+                  sample_rate=16000, **specaug_kwargs):
     """Fused device input transform: int16-scale waveforms → fbank →
     SpecAugment, one jitted program (north-star input pipeline)."""
     r1, r2 = jax.random.split(rng)
     feats, feat_lens = fbank_jax(waveform, lengths, r1,
-                                 num_mel_bins=num_mel_bins, dither=dither)
+                                 num_mel_bins=num_mel_bins, dither=dither,
+                                 sample_rate=sample_rate)
     return specaug_jax(feats, feat_lens, r2, **specaug_kwargs), feat_lens
+
+
+def make_device_frontend(preprocess_conf, specaug_conf=None):
+    """→ frontend(waveforms, sample_lens, rng, train) → (feats, lens), the
+    callable make_train_step/make_eval_step fuse into the compiled step
+    (dataset_conf.on_device_frontend). Train applies Kaldi dither +
+    SpecAugment; eval is deterministic. specaug_conf keys mirror the
+    host augmentor (augmentation.json specaug params)."""
+    pre = dict(preprocess_conf or {})
+    method = pre.get("feature_method", "fbank")
+    if method != "fbank":
+        raise ValueError(
+            f"on-device frontend supports fbank (got {method})")
+    n_mels = int(pre.get("n_mels", 80))
+    sr = int(pre.get("sample_rate", 16000))
+    sa = dict(specaug_conf or {})
+    kwargs = dict(
+        n_freq_masks=int(sa.get("n_freq_masks", 2)),
+        n_time_masks=int(sa.get("n_time_masks", 2)),
+        max_f=int(sa.get("F", sa.get("max_f", 10))),
+        max_t=int(sa.get("T", sa.get("max_t", 50))))
+
+    def frontend(waveforms, sample_lens, rng, train):
+        if train:
+            return fbank_specaug(waveforms, sample_lens, rng,
+                                 num_mel_bins=n_mels, dither=1.0,
+                                 sample_rate=sr, **kwargs)
+        return fbank_jax(waveforms, sample_lens, None,
+                         num_mel_bins=n_mels, dither=0.0, sample_rate=sr)
+
+    return frontend

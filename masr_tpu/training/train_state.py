@@ -29,8 +29,14 @@ class TrainState(struct.PyTreeNode):
                    tx=tx, apply_fn=apply_fn)
 
 
-def make_train_step(model, tx):
-    """→ jit-able train_step(state, batch, rng) → (state, metrics)."""
+def make_train_step(model, tx, frontend=None):
+    """→ jit-able train_step(state, batch, rng) → (state, metrics).
+
+    frontend: optional (waveforms (B,S), sample_lens, rng, train) →
+    (feats, feat_lens) callable — the ON-DEVICE input frontend
+    (fbank + SpecAugment fused into this compiled step,
+    dataset_conf.on_device_frontend). batch["inputs"] then carries raw
+    int16-scale waveforms instead of features."""
 
     def loss_fn(params, batch_stats, batch, rng):
         variables = {"params": params}
@@ -38,9 +44,12 @@ def make_train_step(model, tx):
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats
             mutable = ["batch_stats"]
-        d_rng, c_rng = jax.random.split(rng)
+        d_rng, c_rng, f_rng = jax.random.split(rng, 3)
         kwargs = {"mutable": mutable} if mutable else {}
-        out = model.apply(variables, batch["inputs"], batch["input_lens"],
+        inputs, input_lens = batch["inputs"], batch["input_lens"]
+        if frontend is not None:
+            inputs, input_lens = frontend(inputs, input_lens, f_rng, True)
+        out = model.apply(variables, inputs, input_lens,
                           batch["labels"], batch["label_lens"], train=True,
                           rngs={"dropout": d_rng, "chunk": c_rng}, **kwargs)
         if mutable:
@@ -75,33 +84,38 @@ def make_train_step(model, tx):
     return train_step
 
 
-def make_eval_step(model):
+def make_eval_step(model, frontend=None):
     def eval_step(params_vars, batch):
+        inputs, input_lens = batch["inputs"], batch["input_lens"]
+        if frontend is not None:
+            inputs, input_lens = frontend(inputs, input_lens, None, False)
         # dynamic-chunk models draw a chunk size even for the eval loss
         # (the reference keeps random chunks at eval, mask.py:106-133);
         # a fixed key makes eval deterministic.
-        out = model.apply(params_vars, batch["inputs"], batch["input_lens"],
+        out = model.apply(params_vars, inputs, input_lens,
                           batch["labels"], batch["label_lens"], train=False,
                           rngs={"chunk": jax.random.PRNGKey(0)})
-        probs, lens = model.apply(params_vars, batch["inputs"],
-                                  batch["input_lens"],
+        probs, lens = model.apply(params_vars, inputs, input_lens,
                                   method=type(model).get_encoder_out)
         return out["loss"], probs, lens
 
     return eval_step
 
 
-def make_eval_step_rescoring(model):
+def make_eval_step_rescoring(model, frontend=None):
     """Eval step that also returns encoder hidden states, so attention
     rescoring (reference trainer.py:323-345 dispatch, here extended with
     the rescoring mode) reuses the same encode."""
 
     def eval_step(params_vars, batch):
-        out = model.apply(params_vars, batch["inputs"], batch["input_lens"],
+        inputs, input_lens = batch["inputs"], batch["input_lens"]
+        if frontend is not None:
+            inputs, input_lens = frontend(inputs, input_lens, None, False)
+        out = model.apply(params_vars, inputs, input_lens,
                           batch["labels"], batch["label_lens"], train=False,
                           rngs={"chunk": jax.random.PRNGKey(0)})
         enc, probs, lens = model.apply(
-            params_vars, batch["inputs"], batch["input_lens"],
+            params_vars, inputs, input_lens,
             method=type(model).encode_for_rescoring)
         return out["loss"], enc, probs, lens
 

@@ -152,16 +152,20 @@ class MASRTrainer(object):
         aug = "{}"
         if is_train and augment_conf_path and os.path.exists(augment_conf_path):
             aug = augment_conf_path
+        self._augment_conf_path = aug if aug != "{}" else \
+            getattr(self, "_augment_conf_path", None)
         manifest = d.train_manifest if is_train else d.test_manifest
         if d.get("manifest_type") == "binary":
             manifest = manifest + ".data" if not manifest.endswith(".data") \
                 else manifest
+        on_device = bool(d.get("on_device_frontend", False))
         dataset = MASRDataset(
             pre, manifest, d.dataset_vocab,
             manifest_type=d.get("manifest_type", "txt"),
             min_duration=d.get("min_duration", 0),
             max_duration=d.get("max_duration", 20) if is_train else -1,
-            augmentation_config=aug, train=is_train)
+            augmentation_config=aug, train=is_train,
+            return_waveform=on_device)
         batch_size = d.batch_size
         if is_train:
             sampler = ShardedBatchSampler(
@@ -174,9 +178,38 @@ class MASRTrainer(object):
         else:
             sampler = BatchShuffleSampler(len(dataset), batch_size,
                                           shuffle=False, drop_last=False)
+        collate = None
+        if on_device:
+            from masr_tpu.data.collate import collate_waveforms
+            bucket = int(d.get("sample_bucket", 16000))
+            rng = np.random.RandomState(self.configs.get("seed", 0))
+
+            def collate(items, _rng=rng, _b=bucket):
+                return collate_waveforms(items, sample_bucket=_b, rng=_rng)
+
         loader = DataLoader(dataset, sampler,
-                            num_workers=d.get("num_workers", 4))
+                            num_workers=d.get("num_workers", 4),
+                            collate=collate)
         return dataset, sampler, loader
+
+    def _device_frontend(self):
+        """The fused on-device input frontend (fbank + SpecAugment inside
+        the compiled step) when dataset_conf.on_device_frontend is set;
+        None otherwise. SpecAugment params come from the augmentation
+        JSON's specaug entry."""
+        if not bool(self.configs.dataset_conf.get("on_device_frontend",
+                                                  False)):
+            return None
+        from masr_tpu.ops.specaug import make_device_frontend
+        specaug = None
+        path = getattr(self, "_augment_conf_path", None)
+        if path and os.path.exists(path):
+            with open(path, encoding="utf-8") as f:
+                for item in json.load(f):
+                    if item.get("type") == "specaug" and \
+                            item.get("prob", 0) > 0:
+                        specaug = item.get("params")
+        return make_device_frontend(self.configs.preprocess_conf, specaug)
 
     # ------------------------------------------------------------------ #
     # model
@@ -269,7 +302,8 @@ class MASRTrainer(object):
             self.state = shard_train_state(self.state, self.mesh)
         else:
             self.state = replicate(self.state, self.mesh)
-        train_step = jax.jit(make_train_step(self.model, self.state.tx),
+        train_step = jax.jit(make_train_step(self.model, self.state.tx,
+                                             frontend=self._device_frontend()),
                              donate_argnums=(0,))
         rng = jax.random.PRNGKey(self.configs.get("seed", 0))
         writer = ScalarWriter(self.configs.get("log_dir", "log")) \
@@ -426,9 +460,11 @@ class MASRTrainer(object):
         tf = TextFeaturizer(self.configs.dataset_conf.dataset_vocab)
         metric = self.configs.get("metrics_type", "cer")
         decoder = self._resolve_eval_decoder(vocab_list, decoder)
+        frontend = self._device_frontend()
         rescoring = decoder == "attention_rescoring"
         if rescoring:
-            eval_step = jax.jit(make_eval_step_rescoring(self.model))
+            eval_step = jax.jit(make_eval_step_rescoring(self.model,
+                                                         frontend=frontend))
             m_conf = self.configs.get("model_conf") or {}
             d_conf = self.configs.get("decoder_conf") or {}
             ctc_weight = float(m_conf.get("ctc_weight", 0.3))
@@ -443,7 +479,8 @@ class MASRTrainer(object):
                     v, e, el, h, hl, reverse_weight,
                     method=type(model).rescore_hyps))
         else:
-            eval_step = jax.jit(make_eval_step(self.model))
+            eval_step = jax.jit(make_eval_step(self.model,
+                                               frontend=frontend))
         errors, losses = [], []
         for batch in loader:
             if self.stop_eval:
