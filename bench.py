@@ -221,8 +221,9 @@ def bench_train_step():
         "labels": jnp.asarray(rs.randint(2, VOCAB_SIZE - 1, (B, L)),
                               jnp.int32),
         "label_lens": jnp.full((B,), L, jnp.int32)}
+    from masr_tpu.training.train_state import train_rng
     step_fn = make_train_step(model, tx)
-    rng = jax.random.PRNGKey(0)
+    rng = train_rng(0)  # production RNG impl (rbg): see train_state.train_rng
     flops = xla_flops(jax.jit(step_fn), state, batch0, rng)
 
     # K chained optimizer steps inside ONE jitted scan: per-step time is

@@ -32,6 +32,7 @@ from masr_tpu.parallel.mesh import (make_mesh, maybe_init_distributed,
 from masr_tpu.training import checkpoints as ckpt
 from masr_tpu.training.logging_util import ScalarWriter
 from masr_tpu.training.train_state import (TrainState, make_eval_step,
+                                           train_rng,
                                            make_eval_step_rescoring,
                                            make_train_step)
 from masr_tpu.utils.config import dict_to_object, load_config
@@ -305,7 +306,8 @@ class MASRTrainer(object):
         train_step = jax.jit(make_train_step(self.model, self.state.tx,
                                              frontend=self._device_frontend()),
                              donate_argnums=(0,))
-        rng = jax.random.PRNGKey(self.configs.get("seed", 0))
+        # rbg keys: threefry dropout bits cost ~40% of the fwd+bwd on TPU
+        rng = train_rng(self.configs.get("seed", 0))
         writer = ScalarWriter(self.configs.get("log_dir", "log")) \
             if self.rank == 0 else None
         max_epoch = t_conf.max_epoch

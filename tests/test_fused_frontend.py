@@ -132,3 +132,38 @@ def test_fused_rescoring_mode_runs(bundle_dir):
     r = p.predict_stream(wav, is_end=True, sample_rate=SR)
     p.reset_stream()
     assert r is not None and isinstance(r["text"], str)
+
+
+def test_fused_stream_deepspeech2(bundle_dir, tmp_path):
+    """The fused frontend also serves DS2's h/c-state streaming: fused vs
+    host path give identical text."""
+    import jax.numpy as jnp
+    from masr_tpu.infer.bundle import save_inference_bundle
+    from masr_tpu.infer.predictor import MASRPredictor
+    from masr_tpu.models.cmvn import GlobalCMVN
+    from masr_tpu.models.registry import build_model
+    enc = dict(rnn_size=48, num_rnn_layers=2, use_gru=False)
+    model = build_model("deepspeech2", FEAT, len(VOCAB), streaming=True,
+                        encoder_conf=enc, decoder_conf={}, model_conf={},
+                        cmvn=GlobalCMVN(np.zeros(FEAT), np.ones(FEAT)))
+    rng = jax.random.PRNGKey(0)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": rng, "dropout": rng, "chunk": rng},
+        jnp.zeros((1, 67, FEAT)), jnp.asarray([67]),
+        jnp.zeros((1, 4), jnp.int32), jnp.asarray([4]), train=False)
+    out = tmp_path / "ds2b"
+    save_inference_bundle(str(out), "deepspeech2", True, FEAT, VOCAB,
+                          np.zeros(FEAT), np.ones(FEAT), enc, {}, {},
+                          {"feature_method": "fbank", "n_mels": FEAT,
+                           "use_dB_normalization": False}, variables)
+    wav = _speech(int(1.7 * SR), seed=9)
+    pf = MASRPredictor(str(out), decoder="ctc_greedy", warmup=False,
+                       fused_frontend=True)
+    ph = MASRPredictor(str(out), decoder="ctc_greedy", warmup=False,
+                       fused_frontend=False)
+    assert pf.fused_frontend
+    rf = pf.predict_stream(wav, is_end=True, sample_rate=SR)
+    rh = ph.predict_stream(wav, is_end=True, sample_rate=SR)
+    pf.reset_stream()
+    ph.reset_stream()
+    assert rf["text"] == rh["text"]
