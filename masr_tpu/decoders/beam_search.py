@@ -35,13 +35,15 @@ class _PyPrefixBeamSearch(object):
     """Pure-Python stateful prefix beam search over one stream."""
 
     def __init__(self, vocab_list, beam_size=300, cutoff_prob=0.99,
-                 cutoff_top_n=40, blank_id=0, scorer=None):
+                 cutoff_top_n=40, blank_id=0, scorer=None,
+                 hotword_scorer=None):
         self.vocab_list = vocab_list
         self.beam_size = beam_size
         self.cutoff_prob = cutoff_prob
         self.cutoff_top_n = cutoff_top_n
         self.blank_id = blank_id
         self.scorer = scorer
+        self.hotword_scorer = hotword_scorer
         self.reset()
 
     def reset(self):
@@ -70,6 +72,13 @@ class _PyPrefixBeamSearch(object):
         if not words:
             return 0.0
         return self.scorer.score_word(words[:-1], words[-1])
+
+    def _hot_delta(self, prefix, tid):
+        """Contextual-biasing increment for appending token tid."""
+        if self.hotword_scorer is None:
+            return 0.0
+        ctx = [self._char(t) for t in prefix]
+        return self.hotword_scorer.delta(ctx, self._char(tid))
 
     def step(self, probs):
         """Advance over (T, V) softmax probs."""
@@ -105,13 +114,15 @@ class _PyPrefixBeamSearch(object):
                         # ...or new token after a blank
                         np_prefix = prefix + (tid,)
                         e2 = get(np_prefix)
-                        d = self._lm_delta(prefix, tid)
+                        d = self._lm_delta(prefix, tid) \
+                            + self._hot_delta(prefix, tid)
                         e2[1] = _log_sum_exp(e2[1], p_b + lp)
                         e2[2] = lm + d
                     else:
                         np_prefix = prefix + (tid,)
                         e2 = get(np_prefix)
-                        d = self._lm_delta(prefix, tid)
+                        d = self._lm_delta(prefix, tid) \
+                            + self._hot_delta(prefix, tid)
                         e2[1] = _log_sum_exp(e2[1], p_tot + lp)
                         e2[2] = lm + d
             # prune to beam_size by combined score
@@ -154,7 +165,11 @@ class BeamSearchDecoder(object):
 
     def __init__(self, vocab_list, alpha=2.2, beta=4.3, beam_size=300,
                  num_processes=10, cutoff_prob=0.99, cutoff_top_n=40,
-                 language_model_path=None, blank_id=0, use_native=True):
+                 language_model_path=None, blank_id=0, use_native=True,
+                 hotwords=None, hotword_score=3.0):
+        """hotwords: phrases to contextually bias toward (list of strings
+        for char decoding, or lists of tokens); hotword_score is the
+        per-token boost. Biasing runs in the Python engine."""
         self.vocab_list = vocab_list
         self.alpha, self.beta = alpha, beta
         self.beam_size = beam_size
@@ -162,6 +177,14 @@ class BeamSearchDecoder(object):
         self.cutoff_prob = cutoff_prob
         self.cutoff_top_n = cutoff_top_n
         self.blank_id = blank_id
+        self.hotword_scorer = None
+        if hotwords:
+            from masr_tpu.decoders.scorer import HotwordScorer
+            self.hotword_scorer = HotwordScorer(hotwords,
+                                                boost=hotword_score)
+            if use_native:
+                logger.info("hotword biasing uses the Python beam engine")
+                use_native = False
         self._native = _native_module() if use_native else None
         self.scorer = None
         self._native_scorer = None
@@ -208,7 +231,8 @@ class BeamSearchDecoder(object):
                 self.cutoff_prob, self.cutoff_top_n, self._native_scorer)
         return _PyPrefixBeamSearch(self.vocab_list, self.beam_size,
                                    self.cutoff_prob, self.cutoff_top_n,
-                                   self.blank_id, self.scorer)
+                                   self.blank_id, self.scorer,
+                                   hotword_scorer=self.hotword_scorer)
 
     # -------------------------- offline ------------------------------- #
     def decode_beam_search_offline(self, probs_seq):

@@ -100,6 +100,61 @@ class Scorer(object):
         return self.alpha * self.lm.log10_cond(context_words, word) + self.beta
 
 
+class HotwordScorer(object):
+    """Contextual biasing (beyond the reference — the WeNet/Icefall
+    hotword mechanism): prefixes of registered phrases earn `boost` per
+    matched token while the hypothesis stays on a phrase prefix, with the
+    bonus rolled back automatically when the match dies (the per-token
+    delta is boost·Δdepth where depth = longest hypothesis suffix that is
+    a phrase prefix). A completed phrase keeps a permanent extra bonus.
+
+    Works on the decoder's scoring units: characters for zh (phrase
+    strings are split per char), words for word-level decoding (pass
+    phrases as lists of tokens)."""
+
+    def __init__(self, hotwords, boost=3.0, match_bonus=None):
+        self.boost = float(boost)
+        self.match_bonus = float(boost if match_bonus is None
+                                 else match_bonus)
+        self.phrases = set()
+        self.prefixes = set()
+        self.max_len = 0
+        for phrase in hotwords or []:
+            toks = tuple(phrase) if isinstance(phrase, str) else tuple(phrase)
+            if not toks:
+                continue
+            self.phrases.add(toks)
+            self.max_len = max(self.max_len, len(toks))
+            for i in range(1, len(toks) + 1):
+                self.prefixes.add(toks[:i])
+
+    def _depth(self, toks):
+        """Longest suffix of toks that is a proper prefix of a phrase
+        (full matches are banked separately and do not hold depth)."""
+        n = min(len(toks), self.max_len)
+        for k in range(n, 0, -1):
+            suf = tuple(toks[-k:])
+            if suf in self.prefixes and suf not in self.phrases:
+                return k
+        return 0
+
+    def delta(self, context_tokens, new_token):
+        """Score increment for appending new_token to context_tokens."""
+        if not self.prefixes:
+            return 0.0
+        old = list(context_tokens)
+        new = old + [new_token]
+        d = self.boost * (self._depth(new) - self._depth(old))
+        # completed phrases ending at the new token bank their full bonus:
+        # the Δdepth term above just rolled back the (k−1)·boost partial
+        # credit, so re-grant the whole phrase worth plus the match bonus
+        n = min(len(new), self.max_len)
+        for k in range(1, n + 1):
+            if tuple(new[-k:]) in self.phrases:
+                d += self.boost * k + self.match_bonus
+        return d
+
+
 KENLM_MAGIC = b"mmap lm http://kheafield.com/code format version"
 
 
