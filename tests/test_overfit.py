@@ -260,3 +260,51 @@ def test_deepspeech2_training_learns(ds2_trained):
     error, _ = trainer._evaluate_loader(loader, dataset,
                                         decoder="ctc_greedy")
     assert error < 0.2, f"train-set CER {error:.3f} after overfit"
+
+
+# --------------------------------------------------------------------- #
+# learning proofs for the remaining families (conformer + deepspeech2
+# above prove decode-to-CER-0; these prove the squeezeformer and
+# efficient-conformer training stacks optimize, incl. squeezeformer's
+# BatchNorm batch_stats threading)
+# --------------------------------------------------------------------- #
+def _family_cfg(corpus, use_model):
+    cfg = _configs(corpus, "conformer")
+    cfg["use_model"] = use_model
+    # efficient_conformer uses even conv kernels → causal (streaming)
+    # mode, like every published reference checkpoint
+    cfg["streaming"] = use_model == "efficient_conformer"
+    if use_model == "squeezeformer":
+        cfg["encoder_conf"] = {
+            "encoder_dim": 48, "output_size": 48, "attention_heads": 2,
+            "num_blocks": 4, "reduce_idx": 1, "recover_idx": 3,
+            "feed_forward_expansion_factor": 2, "cnn_module_kernel": 7,
+            "input_dropout_rate": 0.0, "feed_forward_dropout_rate": 0.0,
+            "attention_dropout_rate": 0.0}
+    elif use_model == "efficient_conformer":
+        cfg["encoder_conf"] = {
+            "output_size": 48, "attention_heads": 2, "linear_units": 64,
+            "num_blocks": 4, "cnn_module_kernel": 8,
+            "cnn_module_norm": "layer_norm", "dropout_rate": 0.0,
+            "positional_dropout_rate": 0.0, "attention_dropout_rate": 0.0,
+            "efficient_conf": {"stride_layer_idx": [1], "stride": [2],
+                               "group_layer_idx": [0, 1], "group_size": 3,
+                               "stride_kernel": True}}
+    return cfg
+
+
+@pytest.mark.parametrize("family", ["squeezeformer", "efficient_conformer"])
+def test_family_training_learns(corpus, family):
+    from masr_tpu.training.trainer import MASRTrainer
+    cfg = _family_cfg(corpus, family)
+    trainer = MASRTrainer(configs=dict(cfg))
+    if not os.path.exists(cfg["dataset_conf"]["train_manifest"]):
+        trainer.create_data(
+            annotation_path=str(corpus / "dataset/annotation"),
+            noise_dir=None, num_samples=-1, count_threshold=1)
+    losses = _overfit(trainer, steps=150)
+    initial = np.mean(losses[:3])
+    final = np.mean(losses[-10:])
+    assert np.isfinite(final)
+    assert final < 0.5 * initial, \
+        f"{family} loss did not drop: {initial:.3f} → {final:.3f}"
