@@ -408,6 +408,10 @@ class MASRTrainer(object):
             logger.warning("deepspeech2 has no attention decoder; eval "
                            "attention_rescoring falls back to ctc_beam_search")
             decoder = "ctc_beam_search"
+        if decoder == "ctc_beam_search_device":
+            # batched LM-free prefix beam search fully on device
+            # (masr_tpu/decoders/device_beam.py) — no host decode loop
+            return decoder
         if decoder in ("ctc_beam_search", "attention_rescoring"):
             if getattr(self, "_eval_beam_decoder", None) is None:
                 from masr_tpu.decoders.beam_search import BeamSearchDecoder
@@ -502,6 +506,15 @@ class MASRTrainer(object):
                         decode_batch_beam_search_offline(
                             [probs[i][: int(lens[i])]
                              for i in range(probs.shape[0])])
+                elif decoder == "ctc_beam_search_device":
+                    from masr_tpu.decoders.device_beam import \
+                        decode_batch_device
+                    conf = self.configs.get(
+                        "ctc_beam_search_decoder_conf") or {}
+                    results = decode_batch_device(
+                        probs, lens, vocab_list,
+                        beam_size=min(int(conf.get("beam_size", 10)), 32),
+                        cutoff_top_n=int(conf.get("cutoff_top_n", 40)))
                 else:
                     results = greedy_decoder_batch(probs, vocab_list,
                                                    lens=lens)

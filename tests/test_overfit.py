@@ -308,3 +308,13 @@ def test_family_training_learns(corpus, family):
     assert np.isfinite(final)
     assert final < 0.5 * initial, \
         f"{family} loss did not drop: {initial:.3f} → {final:.3f}"
+
+
+def test_eval_device_beam_decoder(conformer_trained):
+    """ctc_beam_search_device: the batched on-device prefix beam search
+    also solves the overfit corpus through trainer.evaluate."""
+    trainer, cfg, _ = conformer_trained
+    dataset, _, loader = trainer._setup_dataloader(False)
+    err, loss = trainer._evaluate_loader(loader, dataset,
+                                         decoder="ctc_beam_search_device")
+    assert np.isfinite(err) and err < 0.3, err
