@@ -323,6 +323,32 @@ def main():
             f"{secs * 1e3:.1f} ms, {audio_s / secs:.0f}x realtime, "
             f"MFU {full[key]['mfu']}")
 
+    # on-device batched beam search (LM-free prefix beam, decoders/
+    # device_beam.py) — decode 128 utterances of CTC probs on chip
+    from masr_tpu.decoders.device_beam import ctc_beam_search_jax
+    import jax.numpy as jnp
+    Bd, Td = 128, 300
+    rs = np.random.RandomState(0)
+    lg = rs.standard_normal((Bd, Td, VOCAB_SIZE)).astype(np.float32)
+    lg[np.arange(Bd)[:, None], np.arange(Td)[None, :],
+       rs.randint(0, VOCAB_SIZE, (Bd, Td))] += 4
+    e = np.exp(lg - lg.max(-1, keepdims=True))
+    dprobs = jnp.asarray(e / e.sum(-1, keepdims=True))
+    dlens = jnp.full((Bd,), Td, jnp.int32)
+    _, _, sc = ctc_beam_search_jax(dprobs, dlens, beam_size=10,
+                                   cutoff_top_n=40)
+    float(jnp.sum(sc))
+    tbs = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        _, _, sc = ctc_beam_search_jax(dprobs + jnp.float32(1e-7 * (i + 1)),
+                                       dlens, beam_size=10, cutoff_top_n=40)
+        float(jnp.sum(sc))
+        tbs.append(time.perf_counter() - t0)
+    beam_ms_utt = float(np.median(tbs)) / Bd * 1e3
+    log(f"on-device batched beam search: {np.median(tbs) * 1e3:.0f} ms for "
+        f"B={Bd}×{Td} frames (beam 10) = {beam_ms_utt:.2f} ms/utt")
+
     # training step
     train_secs, train_flops = bench_train_step()
     train_mfu = mfu(train_flops, train_secs, peak)
@@ -348,6 +374,7 @@ def main():
         "full_context_b32_mfu": full["xla"]["mfu"],
         "train_step_ms": round(train_secs * 1e3, 1),
         "train_mfu": train_mfu,
+        "device_beam_ms_per_utt": round(beam_ms_utt, 2),
         "device": dev.device_kind,
     }))
 
