@@ -222,6 +222,74 @@ def ctc_beam_search_jax(probs, lens, beam_size=10, cutoff_top_n=40,
             jnp.take_along_axis(scores, order, axis=1))
 
 
+class DeviceBeamStream(object):
+    """Stateful CHUNKED device beam search for batched streaming serving:
+    N slots advance together in one compiled step; inactive slots pass
+    `active=False` and keep their state (the same masking the batched
+    encoder step uses, masr_tpu/infer/batch_stream.py)."""
+
+    def __init__(self, batch, beam_size=10, cutoff_top_n=40, blank_id=0,
+                 max_len=512):
+        self.batch = batch
+        self.beam_size = beam_size
+        self.max_len = max_len
+        self._fresh = init_state(batch, beam_size, max_len)
+        self.state = self._fresh
+
+        def feed(state, probs_chunk, frame_valid):
+            logp = jnp.log(jnp.maximum(probs_chunk.astype(jnp.float32),
+                                       1e-20))
+
+            def body(st, x):
+                lp_t, v_t = x
+                return beam_step(st, lp_t, v_t, beam_size, cutoff_top_n,
+                                 blank_id), None
+
+            state, _ = lax.scan(
+                body, state, (jnp.moveaxis(logp, 1, 0),
+                              jnp.moveaxis(frame_valid, 1, 0)))
+            return state
+
+        self._feed = jax.jit(feed)
+
+        def reset(state, fresh, mask):
+            return jax.tree.map(
+                lambda s, f: jnp.where(
+                    mask.reshape((batch,) + (1,) * (s.ndim - 1)), f, s),
+                state, fresh)
+
+        self._reset = jax.jit(reset)
+
+    def feed(self, probs_chunk, frame_valid=None):
+        """probs_chunk (B, Tc, V) softmax; frame_valid (B, Tc) bool marks
+        real frames per slot (None = all valid) — inactive slots/padded
+        frames leave their beam state untouched."""
+        probs_chunk = np.asarray(probs_chunk)
+        if frame_valid is None:
+            frame_valid = np.ones(probs_chunk.shape[:2], bool)
+        self.state = self._feed(self.state, jnp.asarray(probs_chunk),
+                                jnp.asarray(frame_valid))
+
+    def reset_slots(self, slots):
+        mask = np.zeros((self.batch,), bool)
+        mask[list(slots)] = True
+        self.state = self._reset(self.state, self._fresh, jnp.asarray(mask))
+
+    def best(self, slot=None):
+        """→ (token_ids list, score) for one slot, or lists for all."""
+        scores = np.asarray(_logsumexp2(self.state["p_b"],
+                                        self.state["p_nb"]))
+        tokens = np.asarray(self.state["tokens"])
+        lengths = np.asarray(self.state["length"])
+        best_w = scores.argmax(axis=1)
+        out = []
+        for b in range(self.batch):
+            w = best_w[b]
+            out.append((list(tokens[b, w, : lengths[b, w]]),
+                        float(scores[b, w])))
+        return out[slot] if slot is not None else out
+
+
 def decode_batch_device(probs, lens, vocab_list, beam_size=10,
                         cutoff_top_n=40, blank_id=0, space_token="<space>"):
     """Convenience host wrapper: → [(score, text)] best hypothesis per

@@ -22,10 +22,24 @@ from masr_tpu.infer.predictor import (CACHED_FEATURE_NUM, CONTEXT,
 
 class BatchStreamSession(object):
     def __init__(self, inference_predictor, vocab_list, preprocess_conf=None,
-                 max_streams=8):
+                 max_streams=8, decoder="ctc_greedy", decoder_conf=None):
+        """decoder: 'ctc_greedy' (host, per-slot carry) or
+        'ctc_beam_search_device' — ALL slots' prefix beam search advances
+        in one compiled step alongside the encoder
+        (masr_tpu.decoders.device_beam.DeviceBeamStream)."""
         self.ip = inference_predictor
         self.N = max_streams
         self.vocab_list = vocab_list
+        self.decoder = decoder
+        conf = dict(decoder_conf or {})
+        self._beam = None
+        if decoder == "ctc_beam_search_device":
+            from masr_tpu.decoders.device_beam import DeviceBeamStream
+            self._beam = DeviceBeamStream(
+                max_streams,
+                beam_size=min(int(conf.get("beam_size", 10)), 32),
+                cutoff_top_n=int(conf.get("cutoff_top_n", 40)),
+                max_len=int(conf.get("max_len", 512)))
         self._featurizer = AudioFeaturizer(train=False,
                                            **(preprocess_conf or {}))
         model, variables = self.ip.model, self.ip.variables
@@ -76,8 +90,43 @@ class BatchStreamSession(object):
         self._cached_feat[slot] = None
         self._remainder[slot] = np.zeros(0, np.float32)
         self._decoders[slot].reset()
+        if self._beam is not None:
+            self._beam.reset_slots([slot])
         self.states = jax.tree.map(
             lambda s, t: s.at[slot].set(t), self.states, self._template)
+
+    # ------------------------------------------------------------------ #
+    def _ids_to_text(self, ids):
+        from masr_tpu.data.text_featurizer import SPACE_TOKEN
+        return "".join(" " if self.vocab_list[i] == SPACE_TOKEN
+                       else self.vocab_list[i] for i in ids)
+
+    def _decode_round(self, probs, valids):
+        """One decode pass for a round of advanced slots.
+        probs: (N, 1, CH, V); valids: {slot: valid INPUT frames}.
+        → {slot: (score, text)} for slots that emitted frames."""
+        out = {}
+        if self._beam is not None:
+            CH = probs.shape[2]
+            fv = np.zeros((self.N, CH), bool)
+            emitted = {}
+            for slot, end in valids.items():
+                n = max(_subsampled_len(end), 0)
+                emitted[slot] = n
+                fv[slot, :n] = True
+            self._beam.feed(np.asarray(probs)[:, 0], fv)
+            best = self._beam.best()
+            for slot, n in emitted.items():
+                if n:
+                    ids, score = best[slot]
+                    out[slot] = (score, self._ids_to_text(ids))
+            return out
+        for slot, end in valids.items():
+            valid_out = max(_subsampled_len(end), 0)
+            p = np.asarray(probs[slot, 0])[:valid_out]
+            if p.shape[0]:
+                out[slot] = self._decoders[slot].decode_chunk(p)
+        return out
 
     # ------------------------------------------------------------------ #
     def feed(self, slot, samples, is_end=False, sample_rate=16000):
@@ -123,11 +172,10 @@ class BatchStreamSession(object):
         active[slot] = True
         probs, self.states = self._step(self.ip.variables, jnp.asarray(xs),
                                         self.states, jnp.asarray(active))
-        valid_out = max(_subsampled_len(valid_len), 0)
-        p = np.asarray(probs[slot, 0])[:valid_out]
-        if p.shape[0] == 0:
+        decoded = self._decode_round(probs, {slot: valid_len})
+        if slot not in decoded:
             return None
-        score, text = self._decoders[slot].decode_chunk(p)
+        score, text = decoded[slot]
         return {"text": text, "score": score}
 
     def feed_many(self, items, sample_rate=16000):
@@ -179,10 +227,7 @@ class BatchStreamSession(object):
             probs, self.states = self._step(
                 self.ip.variables, jnp.asarray(xs), self.states,
                 jnp.asarray(active))
-            for slot, end in valids.items():
-                valid_out = max(_subsampled_len(end), 0)
-                p = np.asarray(probs[slot, 0])[:valid_out]
-                if p.shape[0]:
-                    score, text = self._decoders[slot].decode_chunk(p)
-                    results[slot] = {"text": text, "score": score}
+            for slot, (score, text) in self._decode_round(probs,
+                                                          valids).items():
+                results[slot] = {"text": text, "score": score}
         return results

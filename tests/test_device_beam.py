@@ -110,3 +110,129 @@ def test_device_beam_clear_sequence():
                                          np.asarray([len(seq)]), VOCAB,
                                          beam_size=4, cutoff_top_n=4)
     assert text == "abcd"
+
+
+# --------------------------------------------------------------------- #
+# stateful chunked streaming
+# --------------------------------------------------------------------- #
+def test_stream_feed_matches_offline():
+    from masr_tpu.decoders.device_beam import DeviceBeamStream
+    probs = _random_lattice(23, 13, peaky=True)
+    toks, lens_, scores = ctc_beam_search_jax(
+        jnp.asarray(probs[None]), jnp.asarray([23]), beam_size=8,
+        cutoff_top_n=6)
+    stream = DeviceBeamStream(batch=1, beam_size=8, cutoff_top_n=6,
+                              max_len=32)
+    # ragged chunks incl. a padded final one
+    for i in range(0, 23, 5):
+        chunk = probs[i:i + 5]
+        valid = np.ones((1, chunk.shape[0]), bool)
+        if chunk.shape[0] < 5:
+            pad = 5 - chunk.shape[0]
+            chunk = np.pad(chunk, ((0, pad), (0, 0)))
+            valid = np.pad(valid, ((0, 0), (0, pad)))
+        stream.feed(chunk[None], valid)
+    ids, score = stream.best(0)
+    want = list(np.asarray(toks)[0, 0, : int(lens_[0, 0])])
+    assert ids == want
+    np.testing.assert_allclose(score, float(scores[0, 0]), rtol=1e-5)
+
+
+def test_stream_slot_isolation():
+    from masr_tpu.decoders.device_beam import DeviceBeamStream
+    la = _random_lattice(20, 21, peaky=True)
+    lb = _random_lattice(20, 22, peaky=True)
+    stream = DeviceBeamStream(batch=3, beam_size=8, cutoff_top_n=6,
+                              max_len=32)
+    # slot 0 gets lattice A, slot 2 gets lattice B on a different cadence,
+    # slot 1 stays idle
+    for i in range(0, 20, 4):
+        fv = np.zeros((3, 4), bool)
+        chunk = np.zeros((3, 4, V), np.float32)
+        chunk[0] = la[i:i + 4]
+        fv[0] = True
+        stream.feed(chunk, fv)
+        if i % 8 == 0:
+            part = lb[i:i + 8]
+            fv2 = np.zeros((3, 8), bool)
+            c2 = np.zeros((3, 8, V), np.float32)
+            c2[2, : len(part)] = part
+            fv2[2, : len(part)] = True
+            stream.feed(c2, fv2)
+    ids_a, score_a = stream.best(0)
+    ids_b, score_b = stream.best(2)
+    ids_idle, score_idle = stream.best(1)
+    # solo references
+    ra = decode_batch_device(la[None], np.asarray([20]), VOCAB,
+                             beam_size=8, cutoff_top_n=6)[0]
+    rb = decode_batch_device(lb[None], np.asarray([20]), VOCAB,
+                             beam_size=8, cutoff_top_n=6)[0]
+    to_text = lambda ids: "".join(VOCAB[i] for i in ids)
+    assert to_text(ids_a) == ra[1]
+    assert to_text(ids_b) == rb[1]
+    assert ids_idle == []  # untouched slot
+    # reset isolates too
+    stream.reset_slots([0])
+    assert stream.best(0)[0] == []
+    assert to_text(stream.best(2)[0]) == rb[1]
+
+
+def test_batch_stream_session_device_beam(tmp_path):
+    """BatchStreamSession(decoder='ctc_beam_search_device'): two slots fed
+    the same audio produce identical text, equal to a fresh solo run."""
+    import jax
+    from masr_tpu.infer.bundle import save_inference_bundle
+    from masr_tpu.infer.inference_model import InferencePredictor
+    from masr_tpu.infer.batch_stream import BatchStreamSession
+    from masr_tpu.models.cmvn import GlobalCMVN
+    from masr_tpu.models.registry import build_model
+    FEAT = 80
+    vocab = ["<blank>", "<unk>", "你", "好", "<space>", "<eos>"]
+    enc = dict(output_size=32, attention_heads=2, linear_units=32,
+               num_blocks=1, cnn_module_kernel=7)
+    dec = dict(linear_units=32, num_blocks=1, r_num_blocks=0)
+    model = build_model("conformer", FEAT, len(vocab), streaming=True,
+                        encoder_conf=enc, decoder_conf=dec,
+                        model_conf=dict(ctc_weight=0.5),
+                        cmvn=GlobalCMVN(np.zeros(FEAT), np.ones(FEAT)))
+    rng = jax.random.PRNGKey(0)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": rng, "dropout": rng, "chunk": rng},
+        jnp.zeros((1, 67, FEAT)), jnp.asarray([67]),
+        jnp.zeros((1, 4), jnp.int32), jnp.asarray([4]), train=False)
+    out = str(tmp_path / "b")
+    save_inference_bundle(out, "conformer", True, FEAT, vocab,
+                          np.zeros(FEAT), np.ones(FEAT), enc, dec,
+                          dict(ctc_weight=0.5),
+                          {"feature_method": "fbank", "n_mels": FEAT},
+                          variables)
+    ip = InferencePredictor(model_dir=out)
+    sess = BatchStreamSession(ip, vocab,
+                              preprocess_conf={"feature_method": "fbank",
+                                               "n_mels": FEAT},
+                              max_streams=4,
+                              decoder="ctc_beam_search_device",
+                              decoder_conf={"beam_size": 4,
+                                            "cutoff_top_n": 4})
+    rs = np.random.RandomState(0)
+    t = np.arange(int(1.5 * 16000)) / 16000
+    wav = (0.3 * np.sin(2 * np.pi * 350 * t)
+           + 0.02 * rs.standard_normal(len(t))).astype(np.float32)
+    s1, s2 = sess.open(), sess.open()
+    r1 = r2 = None
+    step = 8000
+    for i in range(0, len(wav), step):
+        end = i + step >= len(wav)
+        a = sess.feed(s1, wav[i:i + step], is_end=end)
+        b = sess.feed(s2, wav[i:i + step], is_end=end)
+        r1, r2 = a or r1, b or r2
+    assert r1 is not None and r1["text"] == r2["text"]
+    sess.close(s1)
+    sess.close(s2)
+    # fresh slot reproduces the same text
+    s3 = sess.open()
+    r3 = None
+    for i in range(0, len(wav), step):
+        r = sess.feed(s3, wav[i:i + step], is_end=i + step >= len(wav))
+        r3 = r or r3
+    assert r3["text"] == r1["text"]
