@@ -11,14 +11,15 @@ matmuls, read for the softmax·V). This kernel tiles K/V with an online
 softmax so scores never leave VMEM — the classic flash-attention recipe
 plus the positional (q+bv)·p^T term and the chunk/pad mask.
 
-Status (v5e, measured): at the Conformer's shapes (d_k=64, T≤2048) XLA's
-fused softmax pipeline is within ~15% of this kernel (3.7 vs 4.4 ms/iter at
-B8·H4·T1024) because d_k=64 underfills the 128-lane MXU tiles, so the XLA
-path remains the default; the kernel is wired behind
-`ConformerModel(encoder_conf={'use_flash_attention': True})` for larger
-head dims / longer sequences where flash tiling wins. The streaming chunk
-step (T=16) always stays on the XLA path where per-kernel launch overhead
-dominates.
+Status (v5e, measured on the full 12-layer encoder, bf16): at typical
+utterance lengths XLA's fused softmax pipeline wins (T=1200 input frames:
+8.4 vs 8.9 ms/batch) because d_k=64 underfills the 128-lane MXU tiles and
+the score tensors still fit caches; at LONG-FORM shapes this kernel wins
+(T=4800 frames ≈ 48 s audio: 39.2 vs 54.8 ms, 1.4×) where XLA's
+materialized scores blow past VMEM. So the XLA path is the default and
+`ConformerModel(encoder_conf={'use_flash_attention': True})` is the knob
+for long-audio full-context workloads. The streaming chunk step (T=16)
+always stays on the XLA path where per-kernel launch overhead dominates.
 """
 import functools
 
