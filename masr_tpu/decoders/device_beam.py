@@ -90,7 +90,7 @@ def beam_step(state, logp_t, valid_t, beam_size, cutoff_top_n, blank_id):
     state: see init_state; logp_t (B, V) log-probs; valid_t (B,) bool.
     → new state."""
     B, W, Lmax = state["tokens"].shape
-    K = cutoff_top_n
+    K = min(cutoff_top_n, logp_t.shape[1])
     C = W + W * K
 
     p_b, p_nb = state["p_b"], state["p_nb"]

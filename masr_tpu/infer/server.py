@@ -105,11 +105,18 @@ class ASRServer(object):
         self.batch_session = None
         if max_streams and max_streams > 1:
             from masr_tpu.infer.batch_stream import BatchStreamSession
+            # with a beam-configured predictor, batched streams decode via
+            # the on-device batched beam search (one program for all
+            # slots); greedy predictors keep the host greedy carry
+            stream_decoder = "ctc_beam_search_device" \
+                if predictor.decoder in ("ctc_beam_search",
+                                         "attention_rescoring") \
+                else "ctc_greedy"
             self.batch_session = BatchStreamSession(
                 predictor.predictor, predictor._text_featurizer.vocab_list,
                 preprocess_conf=dict(
                     predictor.predictor.meta.get("preprocess_conf") or {}),
-                max_streams=max_streams)
+                max_streams=max_streams, decoder=stream_decoder)
 
     # ------------------------------ REST ------------------------------- #
     def _make_handler(server):

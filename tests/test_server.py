@@ -285,3 +285,54 @@ def test_single_predictor_ws_busy_guard(server, test_wav_path):
 
     final = asyncio.run(run())
     assert final["code"] == 0
+
+
+def test_batched_ws_with_beam_decoder(tmp_path):
+    """A beam-configured predictor served with max_streams routes slots
+    through the on-device batched beam search."""
+    import jax
+    import jax.numpy as jnp
+    import time
+    from masr_tpu.infer.bundle import save_inference_bundle
+    from masr_tpu.infer.predictor import MASRPredictor
+    from masr_tpu.infer.server import ASRServer
+    from masr_tpu.models.cmvn import GlobalCMVN
+    from masr_tpu.models.registry import build_model
+    FEAT = 80
+    vocab = ["<blank>", "<unk>", "你", "好", "<space>", "<eos>"]
+    enc = dict(output_size=32, attention_heads=2, linear_units=32,
+               num_blocks=1, cnn_module_kernel=7)
+    dec = dict(attention_heads=2, linear_units=32, num_blocks=1,
+               r_num_blocks=0)
+    model = build_model("conformer", FEAT, len(vocab), streaming=True,
+                        encoder_conf=enc, decoder_conf=dec,
+                        model_conf=dict(ctc_weight=0.5),
+                        cmvn=GlobalCMVN(np.zeros(FEAT), np.ones(FEAT)))
+    rng = jax.random.PRNGKey(0)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": rng, "dropout": rng, "chunk": rng},
+        jnp.zeros((1, 67, FEAT)), jnp.asarray([67]),
+        jnp.zeros((1, 4), jnp.int32), jnp.asarray([4]), train=False)
+    out = str(tmp_path / "bb")
+    save_inference_bundle(out, "conformer", True, FEAT, vocab,
+                          np.zeros(FEAT), np.ones(FEAT), enc, dec,
+                          dict(ctc_weight=0.5),
+                          {"feature_method": "fbank", "n_mels": FEAT},
+                          variables)
+    predictor = MASRPredictor(out, decoder="ctc_beam_search",
+                              decoder_configs={"beam_size": 4,
+                                               "cutoff_top_n": 4},
+                              warmup=False)
+    srv = ASRServer(predictor, host="127.0.0.1", port=_free_port(),
+                    ws_port=_free_port(), max_streams=2)
+    assert srv.batch_session is not None
+    assert srv.batch_session.decoder == "ctc_beam_search_device"
+    srv.start(block=False)
+    time.sleep(0.5)
+    try:
+        pcm = _make_pcm(420, seconds=1.2)
+        final = asyncio.run(_stream_ws(
+            f"ws://127.0.0.1:{srv.ws_port}/", pcm))
+        assert final is not None and final["code"] == 0
+    finally:
+        srv.stop()
