@@ -15,8 +15,18 @@ add_arg('count_threshold',  int,  2,                          "å­—ç¬¦è®¡æ•°çš„æˆ
 add_arg('is_change_frame_rate', bool, True,                   "æ˜¯å¦ç»Ÿä¸€æ”¹å˜éŸ³é¢‘çš„é‡‡æ ·ç‡")
 add_arg('max_test_manifest', int, 10000,                      "æµ‹è¯•æ•°æ®åˆ—è¡¨çš„æœ€å¤§æ•°é‡")
 add_arg('only_keep_zh_en',  bool, True,                       "æ˜¯å¦åªä¿ç•™ä¸­æ–‡å’Œè‹±æ–‡å­—ç¬¦")
+add_arg('is_merge_audio',   bool, False,                      "æ˜¯å¦å°†å¤šä¸ªçŸ­éŸ³é¢‘åˆå¹¶æˆé•¿éŸ³é¢‘ï¼Œä»¥å‡å°‘éŸ³é¢‘æ–‡ä»¶æ•°é‡")
+add_arg('max_duration',     int,  600,                        "åˆå¹¶éŸ³é¢‘çš„æœ€å¤§é•¿åº¦ï¼Œå•ä½ç§’")
+add_arg('save_audio_path',  str,  'dataset/audio/merge_audio', "åˆå¹¶éŸ³é¢‘çš„ä¿å­˜è·¯å¾„")
 args = parser.parse_args()
 print_arguments(args=args)
+
+if args.is_merge_audio:
+    from masr_tpu.data.manifest import merge_audio
+    # original .txt annotations are replaced by .merge.json so the
+    # manifests don't double-count (source audio files are kept)
+    merge_audio(args.annotation_path, args.save_audio_path,
+                max_duration=args.max_duration, remove_original=True)
 
 trainer = MASRTrainer(configs=args.configs)
 trainer.create_data(annotation_path=args.annotation_path,

@@ -126,11 +126,14 @@ def _write_jsonl(path, entries):
 
 
 def merge_audio(annotation_path, save_audio_path, max_duration=600,
-                target_sr=16000):
+                target_sr=16000, remove_original=False):
     """Pack many short wavs into ≤max_duration-second files; annotation
     lines are rewritten as JSONL with start_time/end_time into
     `<name>.merge.json` (parity: utils.py:149-205). Reduces small-file I/O
-    pressure for large corpora."""
+    pressure for large corpora. remove_original=True deletes the source
+    .txt annotation afterwards so create_manifest doesn't double-count
+    (the reference always deletes — here opt-in; source AUDIO files are
+    never deleted, unlike the reference)."""
     import numpy as np
     os.makedirs(save_audio_path, exist_ok=True)
     for annotation_text in sorted(os.listdir(annotation_path)):
@@ -183,6 +186,8 @@ def merge_audio(annotation_path, save_audio_path, max_duration=600,
         out = os.path.join(annotation_path,
                            os.path.splitext(annotation_text)[0] + ".merge.json")
         _write_jsonl(out, out_entries)
+        if remove_original:
+            os.remove(path)
         logger.info(f"merged {annotation_text}: {len(out_entries)} utterances "
                     f"into {file_idx} files")
 
