@@ -180,3 +180,45 @@ def test_dataloader_iterates(corpus):
     batches = list(loader)
     assert len(batches) == 2
     assert batches[0]["inputs"].shape[0] == 4
+
+
+def test_merge_audio_roundtrip(tmp_path):
+    """merge_audio packs shorts into long files with start/end_time JSONL;
+    the dataset slices them back to the original samples; the source
+    annotation is replaced when remove_original=True."""
+    import json
+    from masr_tpu.audio import AudioSegment
+    from masr_tpu.audio.io import write_wave
+    from masr_tpu.data.manifest import merge_audio
+    ann = tmp_path / "annotation"
+    ann.mkdir()
+    rs = np.random.RandomState(0)
+    sigs = []
+    lines = []
+    for i in range(5):
+        sig = (rs.standard_normal(int(16000 * (0.5 + 0.1 * i))) * 0.1
+               ).astype(np.float32)
+        sigs.append(sig)
+        p = tmp_path / f"s{i}.wav"
+        write_wave(p, sig, 16000)
+        lines.append(f"{p}\t句子{i}")
+    (ann / "train.txt").write_text("\n".join(lines), encoding="utf-8")
+    merge_audio(str(ann), str(tmp_path / "merged"), max_duration=2,
+                remove_original=True)
+    assert not (ann / "train.txt").exists()
+    merged_json = ann / "train.merge.json"
+    assert merged_json.exists()
+    entries = [json.loads(l) for l in
+               merged_json.read_text(encoding="utf-8").splitlines()]
+    assert len(entries) == 5
+    # sliced reads reproduce the original samples
+    for i, e in enumerate(entries):
+        assert e["text"] == f"句子{i}"
+        seg = AudioSegment.slice_from_file(e["audio_filepath"],
+                                           e["start_time"], e["end_time"])
+        n = min(len(seg.samples), len(sigs[i]))
+        assert n >= len(sigs[i]) - 32  # boundary rounding only
+        np.testing.assert_allclose(seg.samples[:n], sigs[i][:n], atol=2e-4)
+    # packing actually merged: fewer files than utterances
+    import os
+    assert len(os.listdir(tmp_path / "merged")) < 5
