@@ -40,10 +40,12 @@ def _logsumexp2(a, b):
     return m_safe + jnp.log(jnp.exp(a - m_safe) + jnp.exp(b - m_safe))
 
 
-def init_state(batch, beam_size, max_len, dtype=jnp.int32):
-    """Fresh beam state: beam 0 is the empty prefix, the rest are dead."""
+def init_state(batch, beam_size, max_len, dtype=jnp.int32, lm_vocab=0):
+    """Fresh beam state: beam 0 is the empty prefix, the rest are dead.
+    lm_vocab > 0 adds LM-fusion state: accumulated shallow-fusion score
+    and the last non-space token (row lm_vocab = empty context)."""
     W = beam_size
-    return {
+    state = {
         "tokens": jnp.full((batch, W, max_len), -1, dtype),
         "length": jnp.zeros((batch, W), jnp.int32),
         "last": jnp.full((batch, W), -1, jnp.int32),
@@ -54,6 +56,10 @@ def init_state(batch, beam_size, max_len, dtype=jnp.int32):
              jnp.full((batch, W - 1), NEG, jnp.float32)], axis=1),
         "p_nb": jnp.full((batch, W), NEG, jnp.float32),
     }
+    if lm_vocab:
+        state["lm"] = jnp.zeros((batch, W), jnp.float32)
+        state["lm_last"] = jnp.full((batch, W), lm_vocab, jnp.int32)
+    return state
 
 
 def _segment_logsumexp(sorted_h1, sorted_h2, sorted_val):
@@ -84,14 +90,19 @@ def _segment_logsumexp(sorted_h1, sorted_h2, sorted_val):
     return jnp.where(start, val, NEG), start
 
 
-def beam_step(state, logp_t, valid_t, beam_size, cutoff_top_n, blank_id):
+def beam_step(state, logp_t, valid_t, beam_size, cutoff_top_n, blank_id,
+              lm_table=None, alpha=0.0, beta=0.0, space_id=-1):
     """One frame of batched prefix beam search.
 
     state: see init_state; logp_t (B, V) log-probs; valid_t (B,) bool.
-    → new state."""
+    lm_table: optional (V_lm+1, V) dense log10 P(tok|prev) with Katz
+    backoff baked in (row V_lm = empty context) — shallow fusion
+    alpha·log10P + beta per non-space token, matching the host engines'
+    character-LM formula. → new state."""
     B, W, Lmax = state["tokens"].shape
     K = min(cutoff_top_n, logp_t.shape[1])
     C = W + W * K
+    has_lm = lm_table is not None
 
     p_b, p_nb = state["p_b"], state["p_nb"]
     p_tot = _logsumexp2(p_b, p_nb)
@@ -135,6 +146,19 @@ def beam_step(state, logp_t, valid_t, beam_size, cutoff_top_n, blank_id):
         axis=1).astype(jnp.int32)
     c_tok = jnp.concatenate(
         [jnp.full((B, W), -1, jnp.int32), tok.reshape(B, W * K)], axis=1)
+    if has_lm:
+        lm_par, lm_last = state["lm"], state["lm_last"]
+        cond = lm_table[lm_last[:, :, None], tok]            # (B, W, K)
+        is_space = tok == space_id
+        ext_lm = lm_par[:, :, None] + jnp.where(
+            is_space, 0.0, alpha * cond + beta)
+        ext_lm_last = jnp.where(is_space, lm_last[:, :, None], tok)
+        c_lm = jnp.concatenate([lm_par, ext_lm.reshape(B, W * K)], axis=1)
+        c_lm_last = jnp.concatenate(
+            [lm_last, ext_lm_last.reshape(B, W * K)], axis=1)
+    else:
+        c_lm = jnp.zeros((B, C), jnp.float32)
+        c_lm_last = jnp.zeros((B, C), jnp.int32)
     # dead parents propose nothing
     parent_alive = _logsumexp2(p_b, p_nb) > NEG / 2               # (B, W)
     c_alive = jnp.take_along_axis(parent_alive, c_parent, axis=1)
@@ -146,12 +170,13 @@ def beam_step(state, logp_t, valid_t, beam_size, cutoff_top_n, blank_id):
                      + np.uint32(0x80000000))
 
     # ---- merge equal prefixes --------------------------------------- #
-    (s_h1, s_h2, s_pb, s_pnb, s_parent, s_tok) = lax.sort(
-        (c_h1, c_h2, c_pb, c_pnb, c_parent, c_tok), num_keys=2,
-        dimension=1, is_stable=True)
+    (s_h1, s_h2, s_pb, s_pnb, s_parent, s_tok, s_lm, s_lm_last) = lax.sort(
+        (c_h1, c_h2, c_pb, c_pnb, c_parent, c_tok, c_lm, c_lm_last),
+        num_keys=2, dimension=1, is_stable=True)
     m_pb, start = _segment_logsumexp(s_h1, s_h2, s_pb)
     m_pnb, _ = _segment_logsumexp(s_h1, s_h2, s_pnb)
-    total = jnp.where(start, _logsumexp2(m_pb, m_pnb), NEG)
+    # lm is a pure function of the prefix → equal within a segment
+    total = jnp.where(start, _logsumexp2(m_pb, m_pnb) + s_lm, NEG)
 
     # ---- select top-W ------------------------------------------------ #
     sel_total, sel_idx = lax.top_k(total, W)                      # (B, W)
@@ -163,6 +188,8 @@ def beam_step(state, logp_t, valid_t, beam_size, cutoff_top_n, blank_id):
     n_tok = pick(s_tok)
     n_h1 = pick(s_h1)
     n_h2 = pick(s_h2)
+    n_lm = pick(s_lm)
+    n_lm_last = pick(s_lm_last)
 
     # rebuild token arrays: gather parent prefixes, append tok if any
     parent_tokens = jnp.take_along_axis(
@@ -183,6 +210,9 @@ def beam_step(state, logp_t, valid_t, beam_size, cutoff_top_n, blank_id):
 
     new_state = {"tokens": n_tokens, "length": n_length, "last": n_last,
                  "h1": n_h1, "h2": n_h2, "p_b": n_pb, "p_nb": n_pnb}
+    if has_lm:
+        new_state["lm"] = n_lm
+        new_state["lm_last"] = n_lm_last
     # padded frames keep the old state
     keep = valid_t[:, None]
     merged = jax.tree.map(
@@ -194,32 +224,59 @@ def beam_step(state, logp_t, valid_t, beam_size, cutoff_top_n, blank_id):
 
 
 @functools.partial(jax.jit, static_argnames=("beam_size", "cutoff_top_n",
-                                             "blank_id", "max_len"))
+                                             "blank_id", "max_len",
+                                             "space_id"))
 def ctc_beam_search_jax(probs, lens, beam_size=10, cutoff_top_n=40,
-                        blank_id=0, max_len=None):
-    """Batched on-device CTC prefix beam search (no LM).
+                        blank_id=0, max_len=None, lm_table=None,
+                        alpha=2.2, beta=4.3, space_id=-1):
+    """Batched on-device CTC prefix beam search, optional shallow LM
+    fusion (lm_table from `build_dense_bigram` — a character n-gram
+    collapsed to dense bigram conditionals with backoff).
 
     probs: (B, T, V) softmax; lens: (B,) valid frames.
     → (tokens (B, W, Lmax) padded -1, lengths (B, W), scores (B, W)) —
-    beams sorted best-first."""
+    beams sorted best-first; scores include the fusion term."""
     B, T, V = probs.shape
     Lmax = max_len if max_len is not None else T
     logp = jnp.log(jnp.maximum(probs.astype(jnp.float32), 1e-20))
-    state = init_state(B, beam_size, Lmax)
+    state = init_state(B, beam_size, Lmax,
+                       lm_vocab=V if lm_table is not None else 0)
     valid = jnp.arange(T)[None, :] < lens[:, None]
 
     def body(st, x):
         lp_t, v_t = x
-        return beam_step(st, lp_t, v_t, beam_size, cutoff_top_n,
-                         blank_id), None
+        return beam_step(st, lp_t, v_t, beam_size, cutoff_top_n, blank_id,
+                         lm_table=lm_table, alpha=alpha, beta=beta,
+                         space_id=space_id), None
 
     state, _ = lax.scan(body, state,
                         (jnp.moveaxis(logp, 1, 0), jnp.moveaxis(valid, 1, 0)))
     scores = _logsumexp2(state["p_b"], state["p_nb"])
+    if lm_table is not None:
+        scores = scores + state["lm"]
     order = jnp.argsort(-scores, axis=1)
     return (jnp.take_along_axis(state["tokens"], order[:, :, None], axis=1),
             jnp.take_along_axis(state["length"], order, axis=1),
             jnp.take_along_axis(scores, order, axis=1))
+
+
+def build_dense_bigram(language_model_path, vocab_list,
+                       space_token="<space>"):
+    """ARPA character LM → dense (V+1, V) float32 table of
+    log10 P(tok | prev) with Katz backoff baked in; row V is the
+    empty/BOS context. Host-side one-time precompute (O(V²) backoff
+    lookups); ship the result to the device for fused beam search."""
+    from masr_tpu.decoders.scorer import ArpaLM
+    lm = ArpaLM(language_model_path)
+    V = len(vocab_list)
+    chars = [" " if t == space_token else t for t in vocab_list]
+    table = np.zeros((V + 1, V), np.float32)
+    for prev in range(V + 1):
+        ctx = [] if prev == V else [chars[prev]]
+        row = table[prev]
+        for t in range(V):
+            row[t] = lm.log10_cond(ctx, chars[t])
+    return table
 
 
 class DeviceBeamStream(object):
@@ -229,11 +286,15 @@ class DeviceBeamStream(object):
     encoder step uses, masr_tpu/infer/batch_stream.py)."""
 
     def __init__(self, batch, beam_size=10, cutoff_top_n=40, blank_id=0,
-                 max_len=512):
+                 max_len=512, lm_table=None, alpha=2.2, beta=4.3,
+                 space_id=-1):
         self.batch = batch
         self.beam_size = beam_size
         self.max_len = max_len
-        self._fresh = init_state(batch, beam_size, max_len)
+        self._lm = jnp.asarray(lm_table) if lm_table is not None else None
+        self._fresh = init_state(
+            batch, beam_size, max_len,
+            lm_vocab=lm_table.shape[1] if lm_table is not None else 0)
         self.state = self._fresh
 
         def feed(state, probs_chunk, frame_valid):
@@ -243,7 +304,8 @@ class DeviceBeamStream(object):
             def body(st, x):
                 lp_t, v_t = x
                 return beam_step(st, lp_t, v_t, beam_size, cutoff_top_n,
-                                 blank_id), None
+                                 blank_id, lm_table=self._lm, alpha=alpha,
+                                 beta=beta, space_id=space_id), None
 
             state, _ = lax.scan(
                 body, state, (jnp.moveaxis(logp, 1, 0),
@@ -277,8 +339,10 @@ class DeviceBeamStream(object):
 
     def best(self, slot=None):
         """→ (token_ids list, score) for one slot, or lists for all."""
-        scores = np.asarray(_logsumexp2(self.state["p_b"],
-                                        self.state["p_nb"]))
+        total = _logsumexp2(self.state["p_b"], self.state["p_nb"])
+        if "lm" in self.state:
+            total = total + self.state["lm"]
+        scores = np.asarray(total)
         tokens = np.asarray(self.state["tokens"])
         lengths = np.asarray(self.state["length"])
         best_w = scores.argmax(axis=1)
@@ -291,12 +355,18 @@ class DeviceBeamStream(object):
 
 
 def decode_batch_device(probs, lens, vocab_list, beam_size=10,
-                        cutoff_top_n=40, blank_id=0, space_token="<space>"):
+                        cutoff_top_n=40, blank_id=0, space_token="<space>",
+                        lm_table=None, alpha=2.2, beta=4.3):
     """Convenience host wrapper: → [(score, text)] best hypothesis per
-    utterance (same result contract as BeamSearchDecoder's batch API)."""
+    utterance (same result contract as BeamSearchDecoder's batch API).
+    lm_table (from build_dense_bigram) enables on-device shallow fusion."""
+    space_id = vocab_list.index(space_token) if space_token in vocab_list \
+        else -1
     tokens, lengths, scores = ctc_beam_search_jax(
         jnp.asarray(probs), jnp.asarray(lens, jnp.int32),
-        beam_size=beam_size, cutoff_top_n=cutoff_top_n, blank_id=blank_id)
+        beam_size=beam_size, cutoff_top_n=cutoff_top_n, blank_id=blank_id,
+        lm_table=jnp.asarray(lm_table) if lm_table is not None else None,
+        alpha=alpha, beta=beta, space_id=space_id)
     tokens = np.asarray(tokens)
     lengths = np.asarray(lengths)
     scores = np.asarray(scores)

@@ -236,3 +236,95 @@ def test_batch_stream_session_device_beam(tmp_path):
         r = sess.feed(s3, wav[i:i + step], is_end=i + step >= len(wav))
         r3 = r or r3
     assert r3["text"] == r1["text"]
+
+
+# --------------------------------------------------------------------- #
+# on-device shallow LM fusion
+# --------------------------------------------------------------------- #
+ARPA = """\\data\\
+ngram 1=6
+ngram 2=4
+
+\\1-grams:
+-0.4\ta\t-0.3
+-0.5\tb\t-0.3
+-2.2\tc\t-0.3
+-1.0\td\t-0.3
+-3.0\t<unk>
+-0.4\t<s>\t-0.3
+
+\\2-grams:
+-0.05\ta b
+-2.6\ta c
+-0.4\tb a
+-0.5\tb d
+
+\\end\\
+"""
+
+
+@pytest.fixture()
+def lm_setup(tmp_path):
+    from masr_tpu.decoders.device_beam import build_dense_bigram
+    p = tmp_path / "lm.arpa"
+    p.write_text(ARPA, encoding="utf-8")
+    table = build_dense_bigram(str(p), VOCAB)
+    return str(p), table
+
+
+@pytest.mark.parametrize("seed", [0, 3, 5])
+def test_device_lm_fusion_matches_python_engine(lm_setup, seed):
+    from masr_tpu.decoders.scorer import Scorer
+    arpa_path, table = lm_setup
+    probs = _random_lattice(18, seed, peaky=True)
+    scorer = Scorer(alpha=2.0, beta=0.5, language_model_path=arpa_path)
+    assert scorer.is_character_based
+    eng = _PyPrefixBeamSearch(VOCAB, beam_size=8, cutoff_prob=1.0,
+                              cutoff_top_n=6, blank_id=0, scorer=scorer)
+    eng.step(probs)
+    score_py, text_py = eng.result()
+    results = decode_batch_device(probs[None], np.asarray([18]), VOCAB,
+                                  beam_size=8, cutoff_top_n=6,
+                                  lm_table=table, alpha=2.0, beta=0.5)
+    score_dev, text_dev = results[0]
+    assert text_dev == text_py, f"{text_dev!r} != {text_py!r}"
+    np.testing.assert_allclose(score_dev, score_py, rtol=1e-4, atol=1e-4)
+
+
+def test_device_lm_fusion_flips_ambiguous(lm_setup):
+    """LM strongly prefers 'ab' over 'ac': device fusion flips the
+    acoustically-tilted decode, same as the host LM test."""
+    _, table = lm_setup
+    T = 5
+    probs = np.full((T, V), 1e-6, np.float32)
+    probs[0, 1] = 0.9    # a
+    probs[1, 0] = 0.9
+    probs[2, 2] = 0.40   # b
+    probs[2, 3] = 0.50   # c (acoustically preferred, LM-dispreferred)
+    probs[3, 0] = 0.9
+    probs[4, 0] = 0.9
+    probs /= probs.sum(axis=1, keepdims=True)
+    no_lm = decode_batch_device(probs[None], np.asarray([T]), VOCAB,
+                                beam_size=8, cutoff_top_n=6)[0]
+    with_lm = decode_batch_device(probs[None], np.asarray([T]), VOCAB,
+                                  beam_size=8, cutoff_top_n=6,
+                                  lm_table=table, alpha=2.0, beta=0.0)[0]
+    assert no_lm[1] == "ac"
+    assert with_lm[1] == "ab"
+
+
+def test_device_lm_stream_matches_offline(lm_setup):
+    from masr_tpu.decoders.device_beam import DeviceBeamStream
+    _, table = lm_setup
+    probs = _random_lattice(20, 9, peaky=True)
+    offline = decode_batch_device(probs[None], np.asarray([20]), VOCAB,
+                                  beam_size=8, cutoff_top_n=6,
+                                  lm_table=table, alpha=2.0, beta=0.5)[0]
+    stream = DeviceBeamStream(batch=1, beam_size=8, cutoff_top_n=6,
+                              max_len=32, lm_table=table, alpha=2.0,
+                              beta=0.5)
+    for i in range(0, 20, 4):
+        stream.feed(probs[None, i:i + 4])
+    ids, score = stream.best(0)
+    assert "".join(VOCAB[i] for i in ids) == offline[1]
+    np.testing.assert_allclose(score, offline[0], rtol=1e-5)
