@@ -21,6 +21,7 @@ Everything is fixed-shape; the per-frame state is a pytree, so the same
 step serves offline decode (lax.scan) and stateful chunked streaming.
 """
 import functools
+import os
 
 import numpy as np
 
@@ -261,14 +262,25 @@ def ctc_beam_search_jax(probs, lens, beam_size=10, cutoff_top_n=40,
 
 
 def build_dense_bigram(language_model_path, vocab_list,
-                       space_token="<space>"):
+                       space_token="<space>", cache=True):
     """ARPA character LM → dense (V+1, V) float32 table of
     log10 P(tok | prev) with Katz backoff baked in; row V is the
     empty/BOS context. Host-side one-time precompute (O(V²) backoff
-    lookups); ship the result to the device for fused beam search."""
+    lookups — minutes for a 4k-char vocab, so the result is cached next
+    to the ARPA keyed by a vocab fingerprint); ship the result to the
+    device for fused beam search."""
     from masr_tpu.decoders.scorer import ArpaLM
-    lm = ArpaLM(language_model_path)
     V = len(vocab_list)
+    cache_path = None
+    if cache:
+        import hashlib
+        fp = hashlib.sha1(("\x00".join(vocab_list)).encode()).hexdigest()[:12]
+        cache_path = f"{language_model_path}.bigram.{V}.{fp}.npz"
+        if os.path.exists(cache_path) and \
+                os.path.getmtime(cache_path) >= \
+                os.path.getmtime(language_model_path):
+            return np.load(cache_path)["table"]
+    lm = ArpaLM(language_model_path)
     chars = [" " if t == space_token else t for t in vocab_list]
     table = np.zeros((V + 1, V), np.float32)
     for prev in range(V + 1):
@@ -276,6 +288,11 @@ def build_dense_bigram(language_model_path, vocab_list,
         row = table[prev]
         for t in range(V):
             row[t] = lm.log10_cond(ctx, chars[t])
+    if cache_path:
+        try:
+            np.savez_compressed(cache_path, table=table)
+        except OSError:
+            pass
     return table
 
 

@@ -511,10 +511,30 @@ class MASRTrainer(object):
                         decode_batch_device
                     conf = self.configs.get(
                         "ctc_beam_search_decoder_conf") or {}
+                    if not hasattr(self, "_device_lm_table"):
+                        self._device_lm_table = None
+                        lm_path = conf.get("language_model_path")
+                        if lm_path and os.path.exists(lm_path):
+                            from masr_tpu.decoders.device_beam import \
+                                build_dense_bigram
+                            from masr_tpu.decoders.scorer import \
+                                is_kenlm_binary
+                            if is_kenlm_binary(lm_path):
+                                logger.warning(
+                                    "device beam fuses ARPA LMs only; "
+                                    "decoding without LM")
+                            else:
+                                logger.info("building dense bigram table "
+                                            "for on-device LM fusion")
+                                self._device_lm_table = build_dense_bigram(
+                                    lm_path, vocab_list)
                     results = decode_batch_device(
                         probs, lens, vocab_list,
                         beam_size=min(int(conf.get("beam_size", 10)), 32),
-                        cutoff_top_n=int(conf.get("cutoff_top_n", 40)))
+                        cutoff_top_n=int(conf.get("cutoff_top_n", 40)),
+                        lm_table=self._device_lm_table,
+                        alpha=float(conf.get("alpha", 2.2)),
+                        beta=float(conf.get("beta", 4.3)))
                 else:
                     results = greedy_decoder_batch(probs, vocab_list,
                                                    lens=lens)
