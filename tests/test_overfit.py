@@ -318,3 +318,29 @@ def test_eval_device_beam_decoder(conformer_trained):
     err, loss = trainer._evaluate_loader(loader, dataset,
                                          decoder="ctc_beam_search_device")
     assert np.isfinite(err) and err < 0.3, err
+
+
+def test_eval_device_beam_with_lm(conformer_trained, corpus):
+    """ctc_beam_search_device + an ARPA char LM over the corpus: the
+    trainer builds the dense bigram table (cached) and the fused decode
+    still solves the overfit set."""
+    trainer, cfg, _ = conformer_trained
+    # tiny char LM over the training texts
+    chars = sorted(set("".join(TRAIN_TEXTS)))
+    lines = [f"-0.9\t{c}" for c in chars] + ["-3.0\t<unk>"]
+    arpa = ("\\data\\\nngram 1=%d\n\n\\1-grams:\n%s\n\n\\end\\\n"
+            % (len(chars) + 1, "\n".join(lines)))
+    lm_path = str(corpus / "toy.arpa")
+    with open(lm_path, "w", encoding="utf-8") as f:
+        f.write(arpa)
+    trainer.configs["ctc_beam_search_decoder_conf"]["language_model_path"] \
+        = lm_path
+    trainer.configs["ctc_beam_search_decoder_conf"]["alpha"] = 0.5
+    trainer.configs["ctc_beam_search_decoder_conf"]["beta"] = 0.0
+    if hasattr(trainer, "_device_lm_table"):
+        del trainer._device_lm_table
+    dataset, _, loader = trainer._setup_dataloader(False)
+    err, _ = trainer._evaluate_loader(loader, dataset,
+                                      decoder="ctc_beam_search_device")
+    assert trainer._device_lm_table is not None
+    assert np.isfinite(err) and err < 0.3, err
