@@ -68,7 +68,30 @@ class MASRPredictor(object):
             float((meta.get("model_conf") or {}).get("reverse_weight", 0.0))
             if dec_conf.get("r_num_blocks", 0) > 0 else 0.0)
         self.beam_search_decoder = None
-        if decoder in ("ctc_beam_search", "attention_rescoring"):
+        self._device_beam_conf = None
+        if decoder == "ctc_beam_search_device":
+            # batched on-device prefix beam search (decoders/device_beam)
+            # with optional dense-bigram LM fusion from an ARPA char LM
+            conf = dict(decoder_configs)
+            lm_path = conf.pop("language_model_path", None)
+            lm_table = None
+            if lm_path and os.path.exists(lm_path):
+                from masr_tpu.decoders.scorer import is_kenlm_binary
+                if is_kenlm_binary(lm_path):
+                    logger.warning("device beam fuses ARPA LMs only; "
+                                   "decoding without LM")
+                else:
+                    from masr_tpu.decoders.device_beam import \
+                        build_dense_bigram
+                    lm_table = build_dense_bigram(
+                        lm_path, self._text_featurizer.vocab_list)
+            self._device_beam_conf = dict(
+                beam_size=min(int(conf.get("beam_size", 10)), 32),
+                cutoff_top_n=int(conf.get("cutoff_top_n", 40)),
+                lm_table=lm_table,
+                alpha=float(conf.get("alpha", 2.2)),
+                beta=float(conf.get("beta", 4.3)))
+        elif decoder in ("ctc_beam_search", "attention_rescoring"):
             try:
                 self.beam_search_decoder = BeamSearchDecoder(
                     self._text_featurizer.vocab_list, **decoder_configs)
@@ -102,6 +125,7 @@ class MASRPredictor(object):
         self.cached_feat = None
         self._stream_samples = None  # fused-path raw sample buffer
         self._stream_hidden = []  # encoder chunks for two-pass rescoring
+        self._device_beam_stream = None  # lazy on-device beam stream
         self.greedy_chunk_decoder = GreedyChunkDecoder(
             self._text_featurizer.vocab_list)
         if warmup:
@@ -136,7 +160,12 @@ class MASRPredictor(object):
 
     def _decode_result(self, probs, lens, use_pun=False, is_itn=False):
         """(1, T, V) probs → {'text', 'score'} (predict.py:118-144)."""
-        if self.decoder == "ctc_beam_search" and self.beam_search_decoder:
+        if self._device_beam_conf is not None:
+            from masr_tpu.decoders.device_beam import decode_batch_device
+            score, text = decode_batch_device(
+                probs[:1], lens[:1], self._text_featurizer.vocab_list,
+                **self._device_beam_conf)[0]
+        elif self.decoder == "ctc_beam_search" and self.beam_search_decoder:
             score, text = self.beam_search_decoder.decode_beam_search_offline(
                 probs[0][: int(lens[0])])
         else:
@@ -198,6 +227,20 @@ class MASRPredictor(object):
             speech[i, : f.shape[0]] = f
             lens[i] = f.shape[0]
         probs, out_lens = self.predictor.predict(speech, lens)
+        if self._device_beam_conf is not None:
+            # the whole batch's beam search is one device program
+            from masr_tpu.decoders.device_beam import decode_batch_device
+            decoded = decode_batch_device(
+                probs, out_lens, self._text_featurizer.vocab_list,
+                **self._device_beam_conf)
+            results = []
+            for score, text in decoded:
+                if use_pun and text and self.pun_predictor is not None:
+                    text = self.pun_predictor(text)
+                if is_itn and text:
+                    text = self.inverse_text_normalization(text)
+                results.append({"text": text, "score": score})
+            return results
         results = []
         for i in range(len(feats)):
             results.append(self._decode_result(probs[i:i + 1],
@@ -240,10 +283,34 @@ class MASRPredictor(object):
             return None
         if rescoring and hidden is not None:
             self._stream_hidden.append(np.asarray(hidden)[:, :valid_out])
+        if self._device_beam_conf is not None:
+            return self._decode_stream_device(probs)
         if self.beam_search_decoder is not None and self.decoder in (
                 "ctc_beam_search", "attention_rescoring"):
             return self.beam_search_decoder.decode_chunk(probs[0])
         return self.greedy_chunk_decoder.decode_chunk(probs[0])
+
+    def _decode_stream_device(self, probs):
+        """Streaming partials from the on-device beam (fixed CH-frame
+        feeds with a validity mask so one program serves every chunk)."""
+        if self._device_beam_stream is None:
+            from masr_tpu.decoders.device_beam import DeviceBeamStream
+            c = self._device_beam_conf
+            vocab = self._text_featurizer.vocab_list
+            space_id = vocab.index("<space>") if "<space>" in vocab else -1
+            self._device_beam_stream = DeviceBeamStream(
+                1, beam_size=c["beam_size"], cutoff_top_n=c["cutoff_top_n"],
+                max_len=4096, lm_table=c["lm_table"], alpha=c["alpha"],
+                beta=c["beta"], space_id=space_id)
+        CH = DECODING_CHUNK_SIZE
+        n = probs.shape[1]
+        chunk = np.zeros((1, CH, probs.shape[2]), np.float32)
+        chunk[0, :n] = probs[0, :CH]
+        fv = np.zeros((1, CH), bool)
+        fv[0, :min(n, CH)] = True
+        self._device_beam_stream.feed(chunk, fv)
+        ids, score = self._device_beam_stream.best(0)
+        return score, self._text_featurizer.detokenize(ids)
 
     def _stream_step_host(self, audio_data, is_end):
         """Host-featurize path (the reference's structure, predict.py:
@@ -425,6 +492,8 @@ class MASRPredictor(object):
         self.cached_feat = None
         self._stream_samples = None
         self._stream_hidden = []
+        if self._device_beam_stream is not None:
+            self._device_beam_stream.reset_slots([0])
         self.greedy_chunk_decoder.reset()
         if self.beam_search_decoder is not None:
             self.beam_search_decoder.reset_state()

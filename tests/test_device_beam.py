@@ -328,3 +328,63 @@ def test_device_lm_stream_matches_offline(lm_setup):
     ids, score = stream.best(0)
     assert "".join(VOCAB[i] for i in ids) == offline[1]
     np.testing.assert_allclose(score, offline[0], rtol=1e-5)
+
+
+def test_predictor_device_beam_decoder(tmp_path):
+    """MASRPredictor(decoder='ctc_beam_search_device'): batch == single,
+    streaming chunking-invariant, reset isolates utterances."""
+    import jax
+    from masr_tpu.infer.bundle import save_inference_bundle
+    from masr_tpu.infer.predictor import MASRPredictor
+    from masr_tpu.models.cmvn import GlobalCMVN
+    from masr_tpu.models.registry import build_model
+    FEAT = 80
+    vocab = ["<blank>", "<unk>", "你", "好", "<space>", "<eos>"]
+    enc = dict(output_size=32, attention_heads=2, linear_units=32,
+               num_blocks=1, cnn_module_kernel=7)
+    dec = dict(linear_units=32, num_blocks=1, r_num_blocks=0)
+    model = build_model("conformer", FEAT, len(vocab), streaming=True,
+                        encoder_conf=enc, decoder_conf=dec,
+                        model_conf=dict(ctc_weight=0.5),
+                        cmvn=GlobalCMVN(np.zeros(FEAT), np.ones(FEAT)))
+    rng = jax.random.PRNGKey(0)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": rng, "dropout": rng, "chunk": rng},
+        jnp.zeros((1, 67, FEAT)), jnp.asarray([67]),
+        jnp.zeros((1, 4), jnp.int32), jnp.asarray([4]), train=False)
+    out = str(tmp_path / "pb")
+    save_inference_bundle(out, "conformer", True, FEAT, vocab,
+                          np.zeros(FEAT), np.ones(FEAT), enc, dec,
+                          dict(ctc_weight=0.5),
+                          {"feature_method": "fbank", "n_mels": FEAT,
+                           "use_dB_normalization": False}, variables)
+    p = MASRPredictor(out, decoder="ctc_beam_search_device",
+                      decoder_configs={"beam_size": 4, "cutoff_top_n": 4},
+                      warmup=False)
+    assert p._device_beam_conf is not None
+    rs = np.random.RandomState(0)
+    sr = 16000
+    t = np.arange(int(1.3 * sr)) / sr
+    wavs = [(0.3 * np.sin(2 * np.pi * f * t)
+             + 0.02 * rs.standard_normal(len(t))).astype(np.float32)
+            for f in (300, 700, 1400)]
+    singles = [p.predict(w, sample_rate=sr) for w in wavs]
+    batch = p.predict_batch(list(wavs), sample_rate=sr)
+    for s, b in zip(singles, batch):
+        assert s["text"] == b["text"]
+        np.testing.assert_allclose(s["score"], b["score"], rtol=1e-4)
+    # streaming: whole vs pieces, reset isolates
+    r_one = p.predict_stream(wavs[0], is_end=True, sample_rate=sr)
+    p.reset_stream()
+    r_piece = None
+    step = 4000
+    for i in range(0, len(wavs[0]), step):
+        r = p.predict_stream(wavs[0][i:i + step],
+                             is_end=i + step >= len(wavs[0]),
+                             sample_rate=sr)
+        r_piece = r or r_piece
+    p.reset_stream()
+    assert r_one["text"] == r_piece["text"]
+    r_again = p.predict_stream(wavs[0], is_end=True, sample_rate=sr)
+    p.reset_stream()
+    assert r_again["text"] == r_one["text"]
