@@ -24,7 +24,7 @@ add_arg('is_long_audio',   bool, False,  "是否为长语音")
 add_arg('real_time_demo',  bool, False,  "是否使用实时语音识别演示")
 add_arg('use_pun',         bool, False,  "是否给识别结果加标点符号")
 add_arg('is_itn',          bool, False,  "是否对文本进行反标准化")
-add_arg('decoder',         str,  'ctc_greedy',  "解码器，支持 ctc_greedy、ctc_beam_search、attention_rescoring")
+add_arg('decoder',         str,  'ctc_greedy',  "解码器: ctc_greedy | ctc_beam_search | attention_rescoring | ctc_beam_search_device")
 add_arg('pun_model_dir',   str,  None,   "标点符号的模型文件夹路径")
 args = parser.parse_args()
 print_arguments(args=args)

@@ -15,7 +15,7 @@ add_arg('model_dir',       str,  'models/conformer_streaming_fbank/inference_mod
 add_arg("use_gpu",         bool, True,   "是否使用加速器预测(兼容参数)")
 add_arg('use_pun',         bool, False,  "是否给识别结果加标点符号")
 add_arg('is_itn',          bool, False,  "是否对文本进行反标准化")
-add_arg('decoder',         str,  'ctc_greedy', "解码器，支持 ctc_greedy、ctc_beam_search")
+add_arg('decoder',         str,  'ctc_greedy', "解码器: ctc_greedy | ctc_beam_search | attention_rescoring | ctc_beam_search_device")
 add_arg('pun_model_dir',   str,  None,   "标点符号的模型文件夹路径")
 add_arg('max_streams',     int,  0,      "并发流式识别路数(>1 时用批量引擎，一次编译步进所有流)")
 args = parser.parse_args()
