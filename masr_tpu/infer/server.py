@@ -110,7 +110,8 @@ class ASRServer(object):
             # slots); greedy predictors keep the host greedy carry
             stream_decoder = "ctc_beam_search_device" \
                 if predictor.decoder in ("ctc_beam_search",
-                                         "attention_rescoring") \
+                                         "attention_rescoring",
+                                         "ctc_beam_search_device") \
                 else "ctc_greedy"
             self.batch_session = BatchStreamSession(
                 predictor.predictor, predictor._text_featurizer.vocab_list,
