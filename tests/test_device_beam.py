@@ -388,3 +388,22 @@ def test_predictor_device_beam_decoder(tmp_path):
     r_again = p.predict_stream(wavs[0], is_end=True, sample_rate=sr)
     p.reset_stream()
     assert r_again["text"] == r_one["text"]
+
+
+def test_traced_alpha_beta_single_compile(lm_setup):
+    """alpha/beta as traced jnp scalars: the alpha grid reuses one
+    compiled program (tools/tune.py --use_device) and moves scores."""
+    _, table = lm_setup
+    probs = _random_lattice(15, 17, peaky=True)
+    outs = {}
+    for a in (0.0, 4.0):
+        outs[a] = decode_batch_device(
+            probs[None], np.asarray([15]), VOCAB, beam_size=8,
+            cutoff_top_n=6, lm_table=table,
+            alpha=jnp.float32(a), beta=jnp.float32(0.0))[0]
+    # alpha=0 with beta=0 must equal the LM-free decode
+    base = decode_batch_device(probs[None], np.asarray([15]), VOCAB,
+                               beam_size=8, cutoff_top_n=6)[0]
+    assert outs[0.0][1] == base[1]
+    np.testing.assert_allclose(outs[0.0][0], base[0], rtol=1e-5)
+    assert outs[4.0][0] != outs[0.0][0]
