@@ -35,11 +35,16 @@ class BatchStreamSession(object):
         self._beam = None
         if decoder == "ctc_beam_search_device":
             from masr_tpu.decoders.device_beam import DeviceBeamStream
+            space_id = vocab_list.index("<space>") \
+                if "<space>" in vocab_list else -1
             self._beam = DeviceBeamStream(
                 max_streams,
                 beam_size=min(int(conf.get("beam_size", 10)), 32),
                 cutoff_top_n=int(conf.get("cutoff_top_n", 40)),
-                max_len=int(conf.get("max_len", 512)))
+                max_len=int(conf.get("max_len", 512)),
+                lm_table=conf.get("lm_table"),
+                alpha=float(conf.get("alpha", 2.2)),
+                beta=float(conf.get("beta", 4.3)), space_id=space_id)
         self._featurizer = AudioFeaturizer(train=False,
                                            **(preprocess_conf or {}))
         model, variables = self.ip.model, self.ip.variables

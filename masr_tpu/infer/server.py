@@ -113,11 +113,16 @@ class ASRServer(object):
                                          "attention_rescoring",
                                          "ctc_beam_search_device") \
                 else "ctc_greedy"
+            # carry the predictor's device-beam conf (incl. the fused LM
+            # table) into the batched engine when it has one
+            conf = dict(predictor._device_beam_conf or {}) \
+                if getattr(predictor, "_device_beam_conf", None) else {}
             self.batch_session = BatchStreamSession(
                 predictor.predictor, predictor._text_featurizer.vocab_list,
                 preprocess_conf=dict(
                     predictor.predictor.meta.get("preprocess_conf") or {}),
-                max_streams=max_streams, decoder=stream_decoder)
+                max_streams=max_streams, decoder=stream_decoder,
+                decoder_conf=conf)
 
     # ------------------------------ REST ------------------------------- #
     def _make_handler(server):
