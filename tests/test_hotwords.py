@@ -105,3 +105,24 @@ def test_hotwords_streaming_chunks():
         score, text = boosted.decode_chunk(probs[i:i + 2])
     boosted.reset_state()
     assert text == "你好气"
+
+
+def test_hotwords_compose_with_lm(tmp_path):
+    """Hotword boosts and ARPA LM fusion stack in the Python engine."""
+    arpa = ("\\data\\\nngram 1=5\n\n\\1-grams:\n"
+            "-0.4\t你\n-0.5\t好\n-0.9\t天\n-0.9\t气\n-3.0\t<unk>\n\n\\end\\\n")
+    p = tmp_path / "lm.arpa"
+    p.write_text(arpa, encoding="utf-8")
+    probs = _ambiguous_probs()
+    lm_only = BeamSearchDecoder(VOCAB, alpha=0.3, beta=0.0, beam_size=8,
+                                cutoff_top_n=6, use_native=False,
+                                language_model_path=str(p))
+    _, t0 = lm_only.decode_beam_search_offline(probs)
+    both = BeamSearchDecoder(VOCAB, alpha=0.3, beta=0.0, beam_size=8,
+                             cutoff_top_n=6, use_native=False,
+                             language_model_path=str(p),
+                             hotwords=["你好"], hotword_score=3.0)
+    assert both.scorer is not None and both.hotword_scorer is not None
+    _, t1 = both.decode_beam_search_offline(probs)
+    assert t0 == "你天气"   # weak LM alone doesn't flip it
+    assert t1 == "你好气"   # hotword on top does
