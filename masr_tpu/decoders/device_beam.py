@@ -296,6 +296,57 @@ def build_dense_bigram(language_model_path, vocab_list,
     return table
 
 
+def make_stream_decode_fn(beam_size=10, cutoff_top_n=40, blank_id=0,
+                          lm_table=None, alpha=2.2, beta=4.3, space_id=-1,
+                          max_len=4096):
+    """→ (init_fn, decode_fn): the streaming beam as PURE functions, so a
+    caller can fuse decoding into the SAME compiled program as the
+    encoder chunk step (InferencePredictor.attach_stream_decoder) —
+    samples → fbank → encoder → beam search → best hypothesis in ONE
+    device dispatch per chunk, nothing but the winning token ids read
+    back (the north-star fusion beyond DeviceBeamStream's separate
+    program).
+
+    init_fn(batch) → fresh decode state pytree.
+    decode_fn(state, probs_chunk (B,Tc,V), frame_valid (B,Tc) bool) →
+    (state, (tokens (B, max_len) int32 −1-padded, lengths (B,),
+    scores (B,))) — the best beam per slot; padded frames leave state
+    untouched, so one program serves every chunk including the final
+    partial one."""
+    lm = jnp.asarray(lm_table) if lm_table is not None else None
+
+    def init_fn(batch):
+        return init_state(batch, beam_size, max_len,
+                          lm_vocab=lm.shape[1] if lm is not None else 0)
+
+    def decode_fn(state, probs_chunk, frame_valid):
+        logp = jnp.log(jnp.maximum(probs_chunk.astype(jnp.float32), 1e-20))
+
+        def body(st, x):
+            lp_t, v_t = x
+            return beam_step(st, lp_t, v_t, beam_size, cutoff_top_n,
+                             blank_id, lm_table=lm, alpha=alpha, beta=beta,
+                             space_id=space_id), None
+
+        state, _ = lax.scan(body, state,
+                            (jnp.moveaxis(logp, 1, 0),
+                             jnp.moveaxis(frame_valid, 1, 0)))
+        total = _logsumexp2(state["p_b"], state["p_nb"])
+        if "lm" in state:
+            total = total + state["lm"]
+        w = jnp.argmax(total, axis=1)                            # (B,)
+        B, _, L = state["tokens"].shape
+        tokens = jnp.take_along_axis(
+            state["tokens"],
+            jnp.broadcast_to(w[:, None, None], (B, 1, L)), axis=1)[:, 0]
+        lengths = jnp.take_along_axis(state["length"], w[:, None],
+                                      axis=1)[:, 0]
+        scores = jnp.take_along_axis(total, w[:, None], axis=1)[:, 0]
+        return state, (tokens, lengths, scores)
+
+    return init_fn, decode_fn
+
+
 class DeviceBeamStream(object):
     """Stateful CHUNKED device beam search for batched streaming serving:
     N slots advance together in one compiled step; inactive slots pass

@@ -68,8 +68,15 @@ class GreedyChunkDecoder(object):
     def decode_chunk(self, probs_chunk):
         """(T_chunk, V) softmax probs → (score, text) for the full prefix."""
         p = np.asarray(probs_chunk)
-        self._max_index.extend(p.argmax(axis=1).tolist())
-        self._max_prob.extend(p.max(axis=1).tolist())
+        return self.decode_chunk_ids(p.argmax(axis=1), p.max(axis=1))
+
+    def decode_chunk_ids(self, ids, max_probs):
+        """Advance the carry with PRE-COMPUTED per-frame (argmax id,
+        max prob) — the device-fused greedy head
+        (InferencePredictor.predict_chunk_greedy) reads back only these,
+        never the (T, V) probs."""
+        self._max_index.extend(np.asarray(ids).ravel().tolist())
+        self._max_prob.extend(np.asarray(max_probs).ravel().tolist())
         return _collapse(self._max_index, self._max_prob, self.vocab_list,
                          self.blank_id)
 

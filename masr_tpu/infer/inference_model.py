@@ -61,7 +61,15 @@ class InferencePredictor(object):
         self._chunk_step_samples = jax.jit(self._chunk_step_samples_impl)
         self._chunk_step_samples_full = jax.jit(
             self._chunk_step_samples_full_impl)
+        # greedy head fused into the chunk program: only per-frame argmax
+        # ids + max probs are read back (bytes, not the (B, Tc, V) probs)
+        self._chunk_step_greedy = jax.jit(self._chunk_step_greedy_impl)
+        self._chunk_step_samples_greedy = jax.jit(
+            self._chunk_step_samples_greedy_impl)
         self.state = None  # streaming state pytree
+        self.dec_state = None  # fused stream-decoder state pytree
+        self._decode_fn = None
+        self._dec_state0 = None
 
     # ------------------------------------------------------------------ #
     def _encode_impl(self, variables, speech, lens):
@@ -116,6 +124,41 @@ class InferencePredictor(object):
         return self.model.apply(
             variables, feats, state,
             method=type(self.model).get_encoder_out_chunk_full)
+
+    @staticmethod
+    def _greedy_head(probs):
+        return (jnp.argmax(probs, axis=-1).astype(jnp.int32),
+                jnp.max(probs, axis=-1).astype(jnp.float32))
+
+    def _chunk_step_greedy_impl(self, variables, speech, state):
+        probs, state = self._chunk_step_impl(variables, speech, state)
+        ids, maxp = self._greedy_head(probs)
+        return ids, maxp, state
+
+    def _chunk_step_samples_greedy_impl(self, variables, samples, gain,
+                                        length, state):
+        probs, state = self._chunk_step_samples_impl(
+            variables, samples, gain, length, state)
+        ids, maxp = self._greedy_head(probs)
+        return ids, maxp, state
+
+    def _chunk_step_decode_impl(self, variables, speech, state, dec_state,
+                                frame_valid):
+        probs, state = self._chunk_step_impl(variables, speech, state)
+        # stride-downsampling models emit fewer frames than the nominal
+        # chunk size; frame_valid is host-sized to the nominal chunk
+        dec_state, best = self._decode_fn(
+            dec_state, probs, frame_valid[:, : probs.shape[1]])
+        return state, dec_state, best
+
+    def _chunk_step_samples_decode_impl(self, variables, samples, gain,
+                                        length, state, dec_state,
+                                        frame_valid):
+        probs, state = self._chunk_step_samples_impl(
+            variables, samples, gain, length, state)
+        dec_state, best = self._decode_fn(
+            dec_state, probs, frame_valid[:, : probs.shape[1]])
+        return state, dec_state, best
 
     # ------------------------------------------------------------------ #
     def predict(self, speech, speech_lengths):
@@ -211,5 +254,72 @@ class InferencePredictor(object):
         probs, self.state = self._chunk_step_samples(*args)
         return np.asarray(probs)
 
+    def predict_chunk_greedy(self, x_chunk):
+        """Streaming step with the greedy head fused on device:
+        (1, T_win, F) → (ids (1, chunk), max_probs (1, chunk)) — the
+        full (1, chunk, V) probs never leave the accelerator."""
+        if self.state is None:
+            self.init_stream_state(batch=x_chunk.shape[0])
+        ids, maxp, self.state = self._chunk_step_greedy(
+            self.variables, jnp.asarray(x_chunk, jnp.float32), self.state)
+        return np.asarray(ids), np.asarray(maxp)
+
+    def predict_chunk_samples_greedy(self, samples, gain=1.0, length=None):
+        """Fused frontend + greedy head: raw samples → (ids, max_probs)
+        in one device dispatch with a bytes-sized readback."""
+        samples = np.asarray(samples, np.float32)
+        if samples.ndim == 1:
+            samples = samples[None]
+        if self.state is None:
+            self.init_stream_state(batch=samples.shape[0])
+        if length is None:
+            length = samples.shape[1]
+        ids, maxp, self.state = self._chunk_step_samples_greedy(
+            self.variables, jnp.asarray(samples),
+            jnp.asarray(gain, jnp.float32), jnp.asarray(length, jnp.int32),
+            self.state)
+        return np.asarray(ids), np.asarray(maxp)
+
+    # ------------------------------------------------------------------ #
+    def attach_stream_decoder(self, init_fn, decode_fn, batch=1):
+        """Fuse a pure streaming decoder (e.g. the device beam search,
+        decoders.device_beam.make_stream_decode_fn) into the chunk
+        programs: each predict_chunk_decode call runs encoder + decoder
+        as ONE compiled program and reads back only the best hypothesis.
+        """
+        self._decode_fn = decode_fn
+        self._dec_state0 = jax.device_put(init_fn(batch))
+        self.dec_state = self._dec_state0
+        self._chunk_step_decode = jax.jit(self._chunk_step_decode_impl)
+        self._chunk_step_samples_decode = jax.jit(
+            self._chunk_step_samples_decode_impl)
+
+    def predict_chunk_decode(self, x_chunk, frame_valid):
+        """One fused encoder+decoder streaming step (feature input) →
+        (tokens (B, Lmax) −1-padded, lengths (B,), scores (B,))."""
+        if self.state is None:
+            self.init_stream_state(batch=x_chunk.shape[0])
+        self.state, self.dec_state, best = self._chunk_step_decode(
+            self.variables, jnp.asarray(x_chunk, jnp.float32), self.state,
+            self.dec_state, jnp.asarray(frame_valid, bool))
+        return jax.tree.map(np.asarray, best)
+
+    def predict_chunk_samples_decode(self, samples, gain, length,
+                                     frame_valid):
+        """One fused frontend+encoder+decoder streaming step (raw-sample
+        input) → (tokens, lengths, scores)."""
+        samples = np.asarray(samples, np.float32)
+        if samples.ndim == 1:
+            samples = samples[None]
+        if self.state is None:
+            self.init_stream_state(batch=samples.shape[0])
+        self.state, self.dec_state, best = self._chunk_step_samples_decode(
+            self.variables, jnp.asarray(samples),
+            jnp.asarray(gain, jnp.float32), jnp.asarray(length, jnp.int32),
+            self.state, self.dec_state, jnp.asarray(frame_valid, bool))
+        return jax.tree.map(np.asarray, best)
+
     def reset_stream(self):
         self.state = None
+        if self._dec_state0 is not None:
+            self.dec_state = self._dec_state0

@@ -125,7 +125,6 @@ class MASRPredictor(object):
         self.cached_feat = None
         self._stream_samples = None  # fused-path raw sample buffer
         self._stream_hidden = []  # encoder chunks for two-pass rescoring
-        self._device_beam_stream = None  # lazy on-device beam stream
         self.greedy_chunk_decoder = GreedyChunkDecoder(
             self._text_featurizer.vocab_list)
         if warmup:
@@ -283,34 +282,59 @@ class MASRPredictor(object):
             return None
         if rescoring and hidden is not None:
             self._stream_hidden.append(np.asarray(hidden)[:, :valid_out])
-        if self._device_beam_conf is not None:
-            return self._decode_stream_device(probs)
         if self.beam_search_decoder is not None and self.decoder in (
                 "ctc_beam_search", "attention_rescoring"):
             return self.beam_search_decoder.decode_chunk(probs[0])
         return self.greedy_chunk_decoder.decode_chunk(probs[0])
 
-    def _decode_stream_device(self, probs):
-        """Streaming partials from the on-device beam (fixed CH-frame
-        feeds with a validity mask so one program serves every chunk)."""
-        if self._device_beam_stream is None:
-            from masr_tpu.decoders.device_beam import DeviceBeamStream
+    def _greedy_stream_mode(self):
+        """True when the streaming decode is plain greedy — then the
+        greedy head runs fused on device (ids readback, never probs)."""
+        return (self._device_beam_conf is None
+                and (self.beam_search_decoder is None or self.decoder
+                     not in ("ctc_beam_search", "attention_rescoring")))
+
+    def _decode_greedy_ids(self, ids, maxp, valid_out):
+        if valid_out <= 0:
+            return None
+        return self.greedy_chunk_decoder.decode_chunk_ids(
+            ids[0, :valid_out], maxp[0, :valid_out])
+
+    def _ensure_fused_beam(self):
+        """Attach the device beam as a pure decode fn fused into the
+        chunk program: encoder + beam search + best-hypothesis selection
+        run as ONE compiled program per window (the probs never leave
+        the accelerator — vs DeviceBeamStream's separate program, which
+        cost a D2H+H2D probs round-trip and a second dispatch)."""
+        if self.predictor._decode_fn is None:
+            from masr_tpu.decoders.device_beam import make_stream_decode_fn
             c = self._device_beam_conf
             vocab = self._text_featurizer.vocab_list
             space_id = vocab.index("<space>") if "<space>" in vocab else -1
-            self._device_beam_stream = DeviceBeamStream(
-                1, beam_size=c["beam_size"], cutoff_top_n=c["cutoff_top_n"],
-                max_len=4096, lm_table=c["lm_table"], alpha=c["alpha"],
-                beta=c["beta"], space_id=space_id)
+            init_fn, decode_fn = make_stream_decode_fn(
+                beam_size=c["beam_size"], cutoff_top_n=c["cutoff_top_n"],
+                lm_table=c["lm_table"], alpha=c["alpha"], beta=c["beta"],
+                space_id=space_id, max_len=4096)
+            self.predictor.attach_stream_decoder(init_fn, decode_fn, batch=1)
+
+    def _window_decode_fused(self, valid_out, window=None, seg=None,
+                             gain=1.0, valid_samples=None):
+        """One fused encoder+beam window step → (score, text) or None."""
+        self._ensure_fused_beam()
         CH = DECODING_CHUNK_SIZE
-        n = probs.shape[1]
-        chunk = np.zeros((1, CH, probs.shape[2]), np.float32)
-        chunk[0, :n] = probs[0, :CH]
         fv = np.zeros((1, CH), bool)
-        fv[0, :min(n, CH)] = True
-        self._device_beam_stream.feed(chunk, fv)
-        ids, score = self._device_beam_stream.best(0)
-        return score, self._text_featurizer.detokenize(ids)
+        fv[0, : max(min(valid_out, CH), 0)] = True
+        if window is not None:
+            tokens, lengths, scores = self.predictor.predict_chunk_decode(
+                window, fv)
+        else:
+            tokens, lengths, scores = \
+                self.predictor.predict_chunk_samples_decode(
+                    seg, gain, valid_samples, fv)
+        if valid_out <= 0:
+            return None
+        ids = tokens[0][: int(lengths[0])].tolist()
+        return float(scores[0]), self._text_featurizer.detokenize(ids)
 
     def _stream_step_host(self, audio_data, is_end):
         """Host-featurize path (the reference's structure, predict.py:
@@ -356,13 +380,18 @@ class MASRPredictor(object):
                 window = np.pad(window,
                                 ((0, 0), (0, DECODING_WINDOW - valid_len),
                                  (0, 0)))
-            hidden = None
+            valid_out = max(_subsampled_len(valid_len), 0)
             if rescoring:
                 probs, hidden = self.predictor.predict_chunk_full(window)
+                r = self._decode_stream_window(probs, valid_out, True, hidden)
+            elif self._device_beam_conf is not None:
+                r = self._window_decode_fused(valid_out, window=window)
+            elif self._greedy_stream_mode():
+                ids, maxp = self.predictor.predict_chunk_greedy(window)
+                r = self._decode_greedy_ids(ids, maxp, valid_out)
             else:
                 probs = self.predictor.predict_chunk(window)
-            r = self._decode_stream_window(
-                probs, max(_subsampled_len(valid_len), 0), rescoring, hidden)
+                r = self._decode_stream_window(probs, valid_out, False)
             if r is not None:
                 score, text = r
         if end is not None:
@@ -421,15 +450,23 @@ class MASRPredictor(object):
             seg = buf[cur * hop: cur * hop + window_samples]
             if len(seg) < window_samples:
                 seg = np.pad(seg, (0, window_samples - len(seg)))
-            hidden = None
+            valid_out = max(_subsampled_len(valid_len), 0)
             if rescoring:
                 probs, hidden = self.predictor.predict_chunk_samples(
                     seg[None], gain=gain, length=valid_samples, full=True)
+                r = self._decode_stream_window(probs, valid_out, True, hidden)
+            elif self._device_beam_conf is not None:
+                r = self._window_decode_fused(
+                    valid_out, seg=seg[None], gain=gain,
+                    valid_samples=valid_samples)
+            elif self._greedy_stream_mode():
+                ids, maxp = self.predictor.predict_chunk_samples_greedy(
+                    seg[None], gain=gain, length=valid_samples)
+                r = self._decode_greedy_ids(ids, maxp, valid_out)
             else:
                 probs = self.predictor.predict_chunk_samples(
                     seg[None], gain=gain, length=valid_samples)
-            r = self._decode_stream_window(
-                probs, max(_subsampled_len(valid_len), 0), rescoring, hidden)
+                r = self._decode_stream_window(probs, valid_out, False)
             if r is not None:
                 score, text = r
         if end is not None:
@@ -492,8 +529,6 @@ class MASRPredictor(object):
         self.cached_feat = None
         self._stream_samples = None
         self._stream_hidden = []
-        if self._device_beam_stream is not None:
-            self._device_beam_stream.reset_slots([0])
         self.greedy_chunk_decoder.reset()
         if self.beam_search_decoder is not None:
             self.beam_search_decoder.reset_state()
