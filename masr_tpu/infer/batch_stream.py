@@ -7,6 +7,12 @@ advance selectively (idle slots keep their old state via a mask), so
 streams may start/stop independently. Host-side feature windowing and the
 greedy carry are per slot, identical to MASRPredictor.predict_stream
 (predict.py:282-330 window math).
+
+Decoding is FUSED into the tick program: greedy mode returns per-frame
+argmax ids + max probs (the (N, CH, V) probs — ~8 MB/tick at N=32 —
+never leave the device); `ctc_beam_search_device` mode advances every
+slot's prefix beam search inside the same program and returns each
+slot's best hypothesis (decoders.device_beam.make_stream_decode_fn).
 """
 import numpy as np
 
@@ -16,35 +22,21 @@ import jax.numpy as jnp
 from masr_tpu.data.audio_featurizer import AudioFeaturizer
 from masr_tpu.decoders.greedy import GreedyChunkDecoder
 from masr_tpu.infer.predictor import (CACHED_FEATURE_NUM, CONTEXT,
-                                      DECODING_WINDOW, STRIDE,
-                                      _subsampled_len)
+                                      DECODING_CHUNK_SIZE, DECODING_WINDOW,
+                                      STRIDE, _subsampled_len)
 
 
 class BatchStreamSession(object):
     def __init__(self, inference_predictor, vocab_list, preprocess_conf=None,
                  max_streams=8, decoder="ctc_greedy", decoder_conf=None):
-        """decoder: 'ctc_greedy' (host, per-slot carry) or
-        'ctc_beam_search_device' — ALL slots' prefix beam search advances
-        in one compiled step alongside the encoder
-        (masr_tpu.decoders.device_beam.DeviceBeamStream)."""
+        """decoder: 'ctc_greedy' (fused argmax head, per-slot host carry)
+        or 'ctc_beam_search_device' (ALL slots' prefix beam search inside
+        the tick program, incl. optional dense-bigram LM fusion)."""
         self.ip = inference_predictor
         self.N = max_streams
         self.vocab_list = vocab_list
         self.decoder = decoder
         conf = dict(decoder_conf or {})
-        self._beam = None
-        if decoder == "ctc_beam_search_device":
-            from masr_tpu.decoders.device_beam import DeviceBeamStream
-            space_id = vocab_list.index("<space>") \
-                if "<space>" in vocab_list else -1
-            self._beam = DeviceBeamStream(
-                max_streams,
-                beam_size=min(int(conf.get("beam_size", 10)), 32),
-                cutoff_top_n=int(conf.get("cutoff_top_n", 40)),
-                max_len=int(conf.get("max_len", 512)),
-                lm_table=conf.get("lm_table"),
-                alpha=float(conf.get("alpha", 2.2)),
-                beta=float(conf.get("beta", 4.3)), space_id=space_id)
         self._featurizer = AudioFeaturizer(train=False,
                                            **(preprocess_conf or {}))
         model, variables = self.ip.model, self.ip.variables
@@ -65,15 +57,53 @@ class BatchStreamSession(object):
 
         vstep = jax.vmap(one_step, in_axes=(None, 0, 0))
 
-        def masked_step(variables, xs, states, active):
+        def encoder_step(variables, xs, states, active):
             probs, new_states = vstep(variables, xs, states)
             merged = jax.tree.map(
                 lambda new, old: jnp.where(
                     active.reshape((-1,) + (1,) * (new.ndim - 1)), new, old),
                 new_states, states)
-            return probs, merged
+            return probs[:, 0], merged  # (N, CH, V)
 
-        self._step = jax.jit(masked_step)
+        self._dec_state = None
+        if decoder == "ctc_beam_search_device":
+            from masr_tpu.decoders.device_beam import make_stream_decode_fn
+            space_id = vocab_list.index("<space>") \
+                if "<space>" in vocab_list else -1
+            init_fn, decode_fn = make_stream_decode_fn(
+                beam_size=min(int(conf.get("beam_size", 10)), 32),
+                cutoff_top_n=int(conf.get("cutoff_top_n", 40)),
+                max_len=int(conf.get("max_len", 512)),
+                lm_table=conf.get("lm_table"),
+                alpha=float(conf.get("alpha", 2.2)),
+                beta=float(conf.get("beta", 4.3)), space_id=space_id)
+            self._dec_fresh = jax.device_put(init_fn(max_streams))
+            self._dec_state = self._dec_fresh
+
+            def step_beam(variables, xs, states, dec_state, active, fv):
+                probs, merged = encoder_step(variables, xs, states, active)
+                dec_state, best = decode_fn(dec_state, probs,
+                                            fv[:, : probs.shape[1]])
+                return best, merged, dec_state
+
+            self._step_beam = jax.jit(step_beam)
+
+            def reset_dec(dec_state, fresh, mask):
+                return jax.tree.map(
+                    lambda s, f: jnp.where(
+                        mask.reshape((self.N,) + (1,) * (s.ndim - 1)), f, s),
+                    dec_state, fresh)
+
+            self._reset_dec = jax.jit(reset_dec)
+        else:
+            def step_greedy(variables, xs, states, active):
+                probs, merged = encoder_step(variables, xs, states, active)
+                ids = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+                maxp = jnp.max(probs, axis=-1).astype(jnp.float32)
+                return ids, maxp, merged  # (N, CH) each
+
+            self._step_greedy = jax.jit(step_greedy)
+
         # per-slot host state
         self._cached_feat = [None] * max_streams
         self._remainder = [np.zeros(0, np.float32)] * max_streams
@@ -95,8 +125,12 @@ class BatchStreamSession(object):
         self._cached_feat[slot] = None
         self._remainder[slot] = np.zeros(0, np.float32)
         self._decoders[slot].reset()
-        if self._beam is not None:
-            self._beam.reset_slots([slot])
+        if self._dec_state is not None:
+            mask = np.zeros((self.N,), bool)
+            mask[slot] = True
+            self._dec_state = self._reset_dec(self._dec_state,
+                                              self._dec_fresh,
+                                              jnp.asarray(mask))
         self.states = jax.tree.map(
             lambda s, t: s.at[slot].set(t), self.states, self._template)
 
@@ -106,31 +140,35 @@ class BatchStreamSession(object):
         return "".join(" " if self.vocab_list[i] == SPACE_TOKEN
                        else self.vocab_list[i] for i in ids)
 
-    def _decode_round(self, probs, valids):
-        """One decode pass for a round of advanced slots.
-        probs: (N, 1, CH, V); valids: {slot: valid INPUT frames}.
-        → {slot: (score, text)} for slots that emitted frames."""
+    def _run_round(self, xs, active, valids):
+        """One fused tick: encoder (+ decode head) for the active slots.
+        valids: {slot: valid INPUT frames} → {slot: (score, text)}."""
         out = {}
-        if self._beam is not None:
-            CH = probs.shape[2]
-            fv = np.zeros((self.N, CH), bool)
+        if self._dec_state is not None:
+            fv = np.zeros((self.N, DECODING_CHUNK_SIZE), bool)
             emitted = {}
             for slot, end in valids.items():
                 n = max(_subsampled_len(end), 0)
                 emitted[slot] = n
                 fv[slot, :n] = True
-            self._beam.feed(np.asarray(probs)[:, 0], fv)
-            best = self._beam.best()
+            best, self.states, self._dec_state = self._step_beam(
+                self.ip.variables, jnp.asarray(xs), self.states,
+                self._dec_state, jnp.asarray(active), jnp.asarray(fv))
+            tokens, lengths, scores = (np.asarray(x) for x in best)
             for slot, n in emitted.items():
                 if n:
-                    ids, score = best[slot]
-                    out[slot] = (score, self._ids_to_text(ids))
+                    ids = tokens[slot][: int(lengths[slot])].tolist()
+                    out[slot] = (float(scores[slot]), self._ids_to_text(ids))
             return out
+        ids, maxp, self.states = self._step_greedy(
+            self.ip.variables, jnp.asarray(xs), self.states,
+            jnp.asarray(active))
+        ids, maxp = np.asarray(ids), np.asarray(maxp)
         for slot, end in valids.items():
-            valid_out = max(_subsampled_len(end), 0)
-            p = np.asarray(probs[slot, 0])[:valid_out]
-            if p.shape[0]:
-                out[slot] = self._decoders[slot].decode_chunk(p)
+            n = min(max(_subsampled_len(end), 0), ids.shape[1])
+            if n:
+                out[slot] = self._decoders[slot].decode_chunk_ids(
+                    ids[slot, :n], maxp[slot, :n])
         return out
 
     # ------------------------------------------------------------------ #
@@ -175,9 +213,7 @@ class BatchStreamSession(object):
         xs[slot, 0] = window
         active = np.zeros((self.N,), bool)
         active[slot] = True
-        probs, self.states = self._step(self.ip.variables, jnp.asarray(xs),
-                                        self.states, jnp.asarray(active))
-        decoded = self._decode_round(probs, {slot: valid_len})
+        decoded = self._run_round(xs, active, {slot: valid_len})
         if slot not in decoded:
             return None
         score, text = decoded[slot]
@@ -229,10 +265,7 @@ class BatchStreamSession(object):
                     min(STRIDE, end - CACHED_FEATURE_NUM):]
             if not active.any():
                 break
-            probs, self.states = self._step(
-                self.ip.variables, jnp.asarray(xs), self.states,
-                jnp.asarray(active))
-            for slot, (score, text) in self._decode_round(probs,
-                                                          valids).items():
+            for slot, (score, text) in self._run_round(xs, active,
+                                                       valids).items():
                 results[slot] = {"text": text, "score": score}
         return results
