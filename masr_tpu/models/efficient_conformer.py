@@ -89,11 +89,14 @@ class GroupedRelPositionMultiHeadedAttention(MultiHeadedAttention):
 
         bias_u = self.pos_bias_u.astype(self.dtype)[None, :, None, :]
         bias_v = self.pos_bias_v.astype(self.dtype)[None, :, None, :]
-        matrix_ac = jnp.einsum("bhqd,bhkd->bhqk", qg + bias_u, kg,
-                               preferred_element_type=jnp.float32)
-        matrix_bd = jnp.einsum("bhqd,bhkd->bhqk", qg + bias_v, pg,
-                               preferred_element_type=jnp.float32)
-        scores = (matrix_ac + matrix_bd) / jnp.sqrt(jnp.float32(self.d_k * g))
+        # AC+BD fused into one matmul over a 2·d_k·g contraction (see
+        # models/attention.py — doubles MXU fill, halves matmul count)
+        q_cat = jnp.concatenate([qg + bias_u, qg + bias_v], axis=-1)
+        k_cat = jnp.concatenate([kg, jnp.broadcast_to(pg, kg.shape)],
+                                axis=-1)
+        scores = jnp.einsum("bhqe,bhke->bhqk", q_cat, k_cat,
+                            preferred_element_type=jnp.float32) \
+            / jnp.sqrt(jnp.float32(self.d_k * g))
         # _attend's (B, T1g, h, d_k*g) → (B, T1g*g, n_feat) reshape IS the
         # un-grouping (reference view semantics, attention.py:114-116);
         # truncate the group padding afterwards

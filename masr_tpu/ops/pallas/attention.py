@@ -11,10 +11,11 @@ matmuls, read for the softmax·V). This kernel tiles K/V with an online
 softmax so scores never leave VMEM — the classic flash-attention recipe
 plus the positional (q+bv)·p^T term and the chunk/pad mask.
 
-Status (v5e, measured on the full 12-layer encoder, bf16): at typical
-utterance lengths XLA's fused softmax pipeline wins (T=1200 input frames:
-8.4 vs 8.9 ms/batch) because d_k=64 underfills the 128-lane MXU tiles and
-the score tensors still fit caches; at LONG-FORM shapes this kernel wins
+Status (v5e, measured on the full 12-layer encoder, bf16, both paths
+with the fused AC+BD score matmul): at typical utterance lengths XLA's
+fused softmax pipeline wins (T=1200 input frames: 13.1 vs 18.9 ms/batch
+at B=32) because the score tensors still fit caches; at LONG-FORM
+shapes this kernel wins
 (T=4800 frames ≈ 48 s audio: 39.2 vs 54.8 ms, 1.4×) where XLA's
 materialized scores blow past VMEM. So the XLA path is the default and
 `ConformerModel(encoder_conf={'use_flash_attention': True})` is the knob
@@ -49,13 +50,13 @@ def _kernel(q_ref, k_ref, v_ref, p_ref, bu_ref, bv_ref, mask_ref, o_ref,
     bu = bu_ref[0]               # (1, d) — broadcast over rows
     bv = bv_ref[0]
 
-    s_ac = jax.lax.dot_general(
-        (q + bu).astype(k.dtype), k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    s_bd = jax.lax.dot_general(
-        (q + bv).astype(p.dtype), p, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    s = (s_ac + s_bd) * sm_scale                     # (bq, bk) f32
+    # AC+BD as one 2d-contraction matmul (d=64 underfills the 128-lane
+    # MXU; see models/attention.py for the measured win)
+    q_cat = jnp.concatenate([q + bu, q + bv], axis=1).astype(k.dtype)
+    k_cat = jnp.concatenate([k, p.astype(k.dtype)], axis=1)
+    s = jax.lax.dot_general(
+        q_cat, k_cat, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale   # (bq, bk) f32
     mask = mask_ref[0] != 0
     s = jnp.where(mask, s, MASK_VALUE)
 
