@@ -164,14 +164,21 @@ class InferencePredictor(object):
     def predict(self, speech, speech_lengths):
         """Full-context CTC probs. speech: (B, T, F) ndarray →
         (probs (B, T', V) ndarray, out_lens (B,))."""
+        probs, lens = self.predict_device(speech, speech_lengths)
+        return np.asarray(probs), np.asarray(lens)
+
+    def predict_device(self, speech, speech_lengths):
+        """Like predict() but returns DEVICE arrays — feed these straight
+        into an on-device decoder (decode_batch_device) without the
+        (B, T', V) probs ever visiting the host (~600 MB of D2H+H2D
+        avoided at B=128)."""
         speech = np.asarray(speech, np.float32)
         B, T, F = speech.shape
         T_pad = _round_up(max(T, 8), self.length_bucket)
         if T_pad != T:
             speech = np.pad(speech, ((0, 0), (0, T_pad - T), (0, 0)))
-        probs, lens = self._encode(self.variables, jnp.asarray(speech),
-                                   jnp.asarray(speech_lengths, jnp.int32))
-        return np.asarray(probs), np.asarray(lens)
+        return self._encode(self.variables, jnp.asarray(speech),
+                            jnp.asarray(speech_lengths, jnp.int32))
 
     # ------------------------------------------------------------------ #
     def encode_for_rescoring(self, speech, speech_lengths):

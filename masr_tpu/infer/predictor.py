@@ -186,7 +186,11 @@ class MASRPredictor(object):
         lens = np.array([feats.shape[0]], np.int64)
         if self.decoder == "attention_rescoring":
             return self._predict_rescoring(speech, lens, use_pun, is_itn)
-        probs, out_lens = self.predictor.predict(speech, lens)
+        if self._device_beam_conf is not None:
+            # probs stay on device end-to-end (encode → beam search)
+            probs, out_lens = self.predictor.predict_device(speech, lens)
+        else:
+            probs, out_lens = self.predictor.predict(speech, lens)
         return self._decode_result(probs, out_lens, use_pun, is_itn)
 
     def _predict_rescoring(self, speech, lens, use_pun=False, is_itn=False):
@@ -225,10 +229,11 @@ class MASRPredictor(object):
         for i, f in enumerate(feats):
             speech[i, : f.shape[0]] = f
             lens[i] = f.shape[0]
-        probs, out_lens = self.predictor.predict(speech, lens)
         if self._device_beam_conf is not None:
-            # the whole batch's beam search is one device program
+            # the whole batch's beam search is one device program; probs
+            # stay on device between the encode and decode programs
             from masr_tpu.decoders.device_beam import decode_batch_device
+            probs, out_lens = self.predictor.predict_device(speech, lens)
             decoded = decode_batch_device(
                 probs, out_lens, self._text_featurizer.vocab_list,
                 **self._device_beam_conf)
@@ -240,6 +245,7 @@ class MASRPredictor(object):
                     text = self.inverse_text_normalization(text)
                 results.append({"text": text, "score": score})
             return results
+        probs, out_lens = self.predictor.predict(speech, lens)
         results = []
         for i in range(len(feats)):
             results.append(self._decode_result(probs[i:i + 1],
