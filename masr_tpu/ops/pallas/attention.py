@@ -16,7 +16,7 @@ with the fused AC+BD score matmul): at typical utterance lengths XLA's
 fused softmax pipeline wins (T=1200 input frames: 13.1 vs 18.9 ms/batch
 at B=32) because the score tensors still fit caches; at LONG-FORM
 shapes this kernel wins
-(T=4800 frames ≈ 48 s audio: 39.2 vs 54.8 ms, 1.4×) where XLA's
+(T=4800 frames ≈ 48 s audio, B=8: 20.5 vs 43.1 ms, 2.1×) where XLA's
 materialized scores blow past VMEM. So the XLA path is the default and
 `ConformerModel(encoder_conf={'use_flash_attention': True})` is the knob
 for long-audio full-context workloads. The streaming chunk step (T=16)
