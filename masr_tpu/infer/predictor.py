@@ -266,17 +266,41 @@ class MASRPredictor(object):
         samples = audio_segment.samples
         sr = audio_segment.sample_rate
         speech_ts = self._vad.get_speech_timestamps(samples, sr)
+        segs = [samples[ts["start"]: ts["end"]] for ts in speech_ts]
+        results = self._predict_segments(segs, use_pun, is_itn, sr)
         texts, scores = "", []
-        for ts in speech_ts:
-            seg = samples[ts["start"]: ts["end"]]
-            result = self.predict(seg, use_pun=use_pun, is_itn=is_itn,
-                                  sample_rate=sr)
+        for result in results:
             if result["text"]:
                 texts = texts + "，" + result["text"] if texts \
                     else result["text"]
                 scores.append(result["score"])
         return {"text": texts,
                 "score": round(float(np.mean(scores)), 2) if scores else 0.0}
+
+    def _predict_segments(self, segs, use_pun, is_itn, sr, group=16):
+        """Recognize VAD segments BATCHED (beyond the reference's
+        per-segment loop, predict.py:213-230): segments are sorted by
+        duration, grouped, and each group runs as one padded
+        predict_batch program — results return in original order.
+        Attention rescoring keeps the per-segment path (its n-best
+        rescore is per-utterance)."""
+        if self.decoder == "attention_rescoring" or len(segs) <= 1:
+            return [self.predict(s, use_pun=use_pun, is_itn=is_itn,
+                                 sample_rate=sr) for s in segs]
+        order = sorted(range(len(segs)), key=lambda i: len(segs[i]))
+        results = [None] * len(segs)
+        for g in range(0, len(order), group):
+            idx = order[g: g + group]
+            batch = [segs[i] for i in idx]
+            # pad the final partial group to the fixed group size so one
+            # compiled (B, T-bucket) program serves every call
+            while 1 < len(batch) < group:
+                batch.append(batch[0])
+            decoded = self.predict_batch(batch, use_pun=use_pun,
+                                         is_itn=is_itn, sample_rate=sr)
+            for i, r in zip(idx, decoded):
+                results[i] = r
+        return results
 
     # ------------------------------------------------------------------ #
     def _decode_stream_window(self, probs, valid_out, rescoring,

@@ -180,3 +180,18 @@ def test_itn_numbers():
     assert itn.normalize("一万零二十") == "10020"
     assert itn.normalize("三点一四") == "3.14"
     assert itn.normalize("你好") == "你好"
+
+
+def test_predict_segments_batched_equals_sequential(predictor):
+    """predict_long's batched segment decode (grouped predict_batch with
+    group padding) must reproduce the per-segment predict() results in
+    original order."""
+    rs = np.random.RandomState(5)
+    segs = [rs.standard_normal(int(n * 16000)).astype(np.float32) * 0.1
+            for n in (0.9, 0.4, 1.3, 0.6, 1.1)]
+    batched = predictor._predict_segments(segs, False, False, 16000,
+                                          group=2)
+    sequential = [predictor.predict(s, sample_rate=16000) for s in segs]
+    assert [r["text"] for r in batched] == [r["text"] for r in sequential]
+    for a, b in zip(batched, sequential):
+        assert abs(a["score"] - b["score"]) < 1e-3
