@@ -19,6 +19,8 @@ import asyncio
 import json
 import re
 import threading
+import time
+from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -26,6 +28,60 @@ import numpy as np
 from masr_tpu.utils.logger import setup_logger
 
 logger = setup_logger()
+
+
+class ServerStats(object):
+    """Thread-safe request/stream metrics behind GET /stats (beyond the
+    reference, which has no observability endpoint — SURVEY.md §5.5)."""
+
+    def __init__(self, window=512):
+        self._lock = threading.Lock()
+        self._t0 = time.time()
+        self._counts = {}
+        self._errors = {}
+        self._lat = {}
+        self._window = window
+        self.streams_active = 0
+        self.streams_total = 0
+        self.stream_chunks = 0
+
+    def observe(self, endpoint, seconds, ok=True):
+        with self._lock:
+            self._counts[endpoint] = self._counts.get(endpoint, 0) + 1
+            if not ok:
+                self._errors[endpoint] = self._errors.get(endpoint, 0) + 1
+            self._lat.setdefault(endpoint, deque(maxlen=self._window)) \
+                .append(seconds)
+
+    def stream_opened(self):
+        with self._lock:
+            self.streams_active += 1
+            self.streams_total += 1
+
+    def stream_closed(self):
+        with self._lock:
+            self.streams_active = max(0, self.streams_active - 1)
+
+    def stream_chunk(self):
+        with self._lock:
+            self.stream_chunks += 1
+
+    def snapshot(self):
+        with self._lock:
+            endpoints = {}
+            for ep, n in self._counts.items():
+                lat = sorted(self._lat.get(ep, ()))
+                pct = (lambda q: round(
+                    lat[min(int(q * len(lat)), len(lat) - 1)] * 1000, 2)) \
+                    if lat else (lambda q: None)
+                endpoints[ep] = {"count": n,
+                                 "errors": self._errors.get(ep, 0),
+                                 "p50_ms": pct(0.50), "p90_ms": pct(0.90)}
+            return {"uptime_s": round(time.time() - self._t0, 1),
+                    "endpoints": endpoints,
+                    "streaming": {"active": self.streams_active,
+                                  "sessions_total": self.streams_total,
+                                  "chunks_total": self.stream_chunks}}
 
 INDEX_HTML = """<!doctype html>
 <html><head><meta charset="utf-8"><title>masr_tpu demo</title></head>
@@ -100,6 +156,7 @@ class ASRServer(object):
         self.use_pun = use_pun
         self.is_itn = is_itn
         self._predict_lock = threading.Lock()  # predictor is not reentrant
+        self.stats = ServerStats()
         self._httpd = None
         self._stream_busy = False
         self.batch_session = None
@@ -173,10 +230,13 @@ class ASRServer(object):
                     self.send_header("Content-Length", str(len(body)))
                     self.end_headers()
                     self.wfile.write(body)
+                elif self.path == "/stats":
+                    self._send_json(200, server.stats.snapshot())
                 else:
                     self._send_json(404, {"code": 404, "msg": "not found"})
 
             def do_POST(self):
+                t0 = time.perf_counter()
                 try:
                     data = self._read_audio()
                     if not data:
@@ -196,10 +256,14 @@ class ASRServer(object):
                             self._send_json(404, {"code": 404,
                                                   "msg": "not found"})
                             return
+                    server.stats.observe(self.path,
+                                         time.perf_counter() - t0)
                     self._send_json(200, {"code": 0, "msg": "success",
                                           "result": result["text"],
                                           "score": result["score"]})
                 except Exception as e:
+                    server.stats.observe(self.path,
+                                         time.perf_counter() - t0, ok=False)
                     logger.exception("recognition failed")
                     self._send_json(500, {"code": 500, "msg": str(e)})
 
@@ -226,6 +290,7 @@ class ASRServer(object):
             return
         logger.info(f"websocket session from {websocket.remote_address} "
                     f"→ stream slot {slot}")
+        self.stats.stream_opened()
 
         async def finish(result):
             nonlocal slot
@@ -241,6 +306,7 @@ class ASRServer(object):
         try:
             async for message in websocket:
                 if isinstance(message, (bytes, bytearray)):
+                    self.stats.stream_chunk()
                     is_end = message.endswith(b"end")
                     payload = message[:-3] if is_end else bytes(message)
                     samples = (np.frombuffer(payload, np.int16)
@@ -262,6 +328,7 @@ class ASRServer(object):
         except Exception as e:
             logger.warning(f"websocket session ended: {e}")
         finally:
+            self.stats.stream_closed()
             with self._predict_lock:
                 self.batch_session.close(slot)
 
@@ -284,9 +351,11 @@ class ASRServer(object):
             await websocket.close()
             return
         logger.info(f"websocket session from {websocket.remote_address}")
+        self.stats.stream_opened()
         try:
             async for message in websocket:
                 if isinstance(message, (bytes, bytearray)):
+                    self.stats.stream_chunk()
                     is_end = message.endswith(b"end")
                     payload = message[:-3] if is_end else bytes(message)
                     with self._predict_lock:
@@ -319,6 +388,7 @@ class ASRServer(object):
         except Exception as e:
             logger.warning(f"websocket session ended: {e}")
         finally:
+            self.stats.stream_closed()
             with self._predict_lock:
                 self.predictor.reset_stream()
                 self._stream_busy = False

@@ -336,3 +336,38 @@ def test_batched_ws_with_beam_decoder(tmp_path):
         assert final is not None and final["code"] == 0
     finally:
         srv.stop()
+
+
+def test_stats_endpoint(server, test_wav_path):
+    """/stats reports request counts + latency percentiles (observability
+    beyond the reference server)."""
+    raw = open(test_wav_path, "rb").read()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server['port']}/recognition", data=raw,
+        headers={"Content-Type": "application/octet-stream"})
+    with urllib.request.urlopen(req):
+        pass
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{server['port']}/stats") as r:
+        stats = json.loads(r.read())
+    assert stats["uptime_s"] >= 0
+    rec = stats["endpoints"]["/recognition"]
+    assert rec["count"] >= 1 and rec["errors"] == 0
+    assert rec["p50_ms"] is not None and rec["p50_ms"] > 0
+    assert set(stats["streaming"]) == {"active", "sessions_total",
+                                       "chunks_total"}
+
+
+def test_stats_unit():
+    from masr_tpu.infer.server import ServerStats
+    s = ServerStats()
+    for ms in (10, 20, 30, 40, 100):
+        s.observe("/x", ms / 1000.0)
+    s.observe("/x", 0.5, ok=False)
+    s.stream_opened(); s.stream_chunk(); s.stream_chunk(); s.stream_closed()
+    snap = s.snapshot()
+    assert snap["endpoints"]["/x"]["count"] == 6
+    assert snap["endpoints"]["/x"]["errors"] == 1
+    assert 20 <= snap["endpoints"]["/x"]["p50_ms"] <= 100
+    assert snap["streaming"] == {"active": 0, "sessions_total": 1,
+                                 "chunks_total": 2}
