@@ -274,3 +274,45 @@ def test_registry_builds_sq_eff(tmp_path):
                         decoder_conf=dict(attention_heads=2, linear_units=16,
                                           num_blocks=1, r_num_blocks=0))
         assert m is not None
+
+
+def test_squeezeformer_streaming_soak_many_rollovers(squeezeformer):
+    """24 chained chunk steps through the reduce/recover U-Net (the
+    fixed-shape caches with per-layer time-scaling roll over ~12×) keep
+    matching full context — long-session pin for the trickiest cache
+    machinery (SURVEY.md §7 hard parts)."""
+    model, variables = squeezeformer
+    rs = np.random.RandomState(17)
+    chunk, left_chunks, sub, ctx = 4, 2, 4, 7
+    n_chunks = 24
+    stride = chunk * sub
+    window = (chunk - 1) * sub + ctx
+    T = stride * n_chunks + (ctx - sub)
+    speech = jnp.asarray(rs.standard_normal((1, T, FEAT)), jnp.float32)
+    lens = jnp.asarray([T])
+    full, _ = model.apply(
+        variables, speech, lens, decoding_chunk_size=chunk,
+        num_decoding_left_chunks=left_chunks,
+        method=lambda m, s, l, **kw: m.encoder(s, l, **kw))
+    C = chunk * left_chunks
+    state = model.apply(variables,
+                        method=lambda m: m.encoder.init_cache(
+                            batch=1, cache_size=C))
+    step = jax.jit(lambda v, x, st: model.apply(
+        v, x, st, method=lambda m, x_, st_: m.encoder.forward_chunk(
+            x_, st_["offset"], st_["att_cache"], st_["cnn_cache"],
+            st_["cache_len"])))
+    outs = []
+    for i in range(n_chunks):
+        x = speech[:, i * stride: i * stride + window]
+        ys, att, cnn = step(variables, x, state)
+        state = {"att_cache": att, "cnn_cache": cnn,
+                 "offset": state["offset"] + ys.shape[1],
+                 "cache_len": jnp.minimum(state["cache_len"] + ys.shape[1],
+                                          C)}
+        outs.append(np.asarray(ys))
+    stream = np.concatenate(outs, axis=1)
+    full_np = np.asarray(full)[:, : stream.shape[1]]
+    np.testing.assert_allclose(stream, full_np, rtol=2e-3, atol=2e-3)
+    tail_err = np.abs(stream[:, -stride:] - full_np[:, -stride:]).max()
+    assert tail_err < 2e-3
