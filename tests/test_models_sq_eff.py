@@ -316,3 +316,40 @@ def test_squeezeformer_streaming_soak_many_rollovers(squeezeformer):
     np.testing.assert_allclose(stream, full_np, rtol=2e-3, atol=2e-3)
     tail_err = np.abs(stream[:, -stride:] - full_np[:, -stride:]).max()
     assert tail_err < 2e-3
+
+
+def test_eff_conformer_streaming_soak_many_rollovers(eff_conformer_g1):
+    """24 chunk steps across the stride layer (caches sliced [::2] then
+    re-inflated, rolling over many times) keep matching full context —
+    long-session pin for the stride-cache reconciliation."""
+    model, variables = eff_conformer_g1
+    rs = np.random.RandomState(23)
+    chunk, left_chunks, sub, ctx = 4, 2, 4, 7
+    n_chunks = 24
+    stride = chunk * sub
+    window = (chunk - 1) * sub + ctx
+    T = stride * n_chunks + (ctx - sub)
+    speech = jnp.asarray(rs.standard_normal((1, T, FEAT)), jnp.float32)
+    lens = jnp.asarray([T])
+    full, _ = model.apply(
+        variables, speech, lens, decoding_chunk_size=chunk,
+        num_decoding_left_chunks=left_chunks,
+        method=lambda m, s, l, **kw: m.encoder(s, l, **kw))
+    C = chunk * left_chunks
+    state = model.apply(variables,
+                        method=lambda m: m.encoder.init_cache(
+                            batch=1, cache_size=C))
+    step = jax.jit(lambda v, x, st: model.apply(
+        v, x, st, method=EfficientConformerModel.get_encoder_out_chunk))
+    outs = []
+    for i in range(n_chunks):
+        x = speech[:, i * stride: i * stride + window]
+        probs, state = step(variables, x, state)
+        outs.append(np.asarray(probs))
+    stream = np.concatenate(outs, axis=1)
+    full_probs = np.asarray(model.apply(
+        variables, full, method=lambda m, e: m.ctc.softmax(e)))
+    full_np = full_probs[:, : stream.shape[1]]
+    np.testing.assert_allclose(stream, full_np, rtol=2e-3, atol=2e-3)
+    tail_err = np.abs(stream[:, -4:] - full_np[:, -4:]).max()
+    assert tail_err < 2e-3  # no drift accumulation at the stream tail
