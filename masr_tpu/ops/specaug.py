@@ -54,6 +54,32 @@ def specaug_jax(feats, lens, rng, *, n_freq_masks=2, n_time_masks=2,
     return jnp.where(keep, feats, fill.astype(feats.dtype))
 
 
+@functools.partial(jax.jit, static_argnames=("max_t", "num_t_sub"))
+def specsub_jax(feats, lens, rng, *, max_t=20, num_t_sub=3):
+    """Batched SpecSub on device (parity semantics: the host
+    SpecSubAugmentor / reference spec_sub.py:6-40): num_t_sub times,
+    overwrite a random ≤max_t-frame span with the span `pos` frames
+    earlier FROM THE ORIGINAL input; later substitutions override
+    earlier ones. Vectorized as a per-frame source-index map + one
+    gather.
+
+    feats: (B, T, F); lens: (B,) valid frames; → substituted (B, T, F).
+    """
+    B, T, F = feats.shape
+    idx = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
+    src = idx
+    for _ in range(num_t_sub):
+        rng, r1, r2, r3 = jax.random.split(rng, 4)
+        t = jax.random.randint(r1, (B,), 0, max(max_t, 1))
+        start = (jax.random.uniform(r2, (B,))
+                 * jnp.maximum(lens - t, 1)).astype(jnp.int32)
+        pos = (jax.random.uniform(r3, (B,))
+               * jnp.maximum(start, 1)).astype(jnp.int32)
+        in_span = (idx >= start[:, None]) & (idx < (start + t)[:, None])
+        src = jnp.where(in_span, idx - pos[:, None], src)
+    return jnp.take_along_axis(feats, src[:, :, None], axis=1)
+
+
 def fbank_specaug(waveform, lengths, rng, *, num_mel_bins=80, dither=1.0,
                   sample_rate=16000, **specaug_kwargs):
     """Fused device input transform: int16-scale waveforms → fbank →
@@ -65,12 +91,13 @@ def fbank_specaug(waveform, lengths, rng, *, num_mel_bins=80, dither=1.0,
     return specaug_jax(feats, feat_lens, r2, **specaug_kwargs), feat_lens
 
 
-def make_device_frontend(preprocess_conf, specaug_conf=None):
+def make_device_frontend(preprocess_conf, specaug_conf=None,
+                         specsub_conf=None):
     """→ frontend(waveforms, sample_lens, rng, train) → (feats, lens), the
     callable make_train_step/make_eval_step fuse into the compiled step
     (dataset_conf.on_device_frontend). Train applies Kaldi dither +
-    SpecAugment; eval is deterministic. specaug_conf keys mirror the
-    host augmentor (augmentation.json specaug params)."""
+    SpecAugment + SpecSub; eval is deterministic. The conf dicts mirror
+    the host augmentors (augmentation.json specaug/specsub params)."""
     pre = dict(preprocess_conf or {})
     method = pre.get("feature_method", "fbank")
     if method != "fbank":
@@ -84,12 +111,19 @@ def make_device_frontend(preprocess_conf, specaug_conf=None):
         n_time_masks=int(sa.get("n_time_masks", 2)),
         max_f=int(sa.get("F", sa.get("max_f", 10))),
         max_t=int(sa.get("T", sa.get("max_t", 50))))
+    ss = dict(specsub_conf) if specsub_conf else None
 
     def frontend(waveforms, sample_lens, rng, train):
         if train:
-            return fbank_specaug(waveforms, sample_lens, rng,
-                                 num_mel_bins=n_mels, dither=1.0,
-                                 sample_rate=sr, **kwargs)
+            rng, r_sub = jax.random.split(rng)
+            feats, lens = fbank_specaug(waveforms, sample_lens, rng,
+                                        num_mel_bins=n_mels, dither=1.0,
+                                        sample_rate=sr, **kwargs)
+            if ss is not None:
+                feats = specsub_jax(feats, lens, r_sub,
+                                    max_t=int(ss.get("max_t", 20)),
+                                    num_t_sub=int(ss.get("num_t_sub", 3)))
+            return feats, lens
         return fbank_jax(waveforms, sample_lens, None,
                          num_mel_bins=n_mels, dither=0.0, sample_rate=sr)
 

@@ -194,23 +194,27 @@ class MASRTrainer(object):
         return dataset, sampler, loader
 
     def _device_frontend(self):
-        """The fused on-device input frontend (fbank + SpecAugment inside
-        the compiled step) when dataset_conf.on_device_frontend is set;
-        None otherwise. SpecAugment params come from the augmentation
-        JSON's specaug entry."""
+        """The fused on-device input frontend (fbank + SpecAugment +
+        SpecSub inside the compiled step) when
+        dataset_conf.on_device_frontend is set; None otherwise. Params
+        come from the augmentation JSON's specaug/specsub entries."""
         if not bool(self.configs.dataset_conf.get("on_device_frontend",
                                                   False)):
             return None
         from masr_tpu.ops.specaug import make_device_frontend
-        specaug = None
+        specaug = specsub = None
         path = getattr(self, "_augment_conf_path", None)
         if path and os.path.exists(path):
             with open(path, encoding="utf-8") as f:
                 for item in json.load(f):
-                    if item.get("type") == "specaug" and \
-                            item.get("prob", 0) > 0:
+                    if item.get("prob", 0) <= 0:
+                        continue
+                    if item.get("type") == "specaug":
                         specaug = item.get("params")
-        return make_device_frontend(self.configs.preprocess_conf, specaug)
+                    elif item.get("type") == "specsub":
+                        specsub = item.get("params")
+        return make_device_frontend(self.configs.preprocess_conf, specaug,
+                                    specsub)
 
     # ------------------------------------------------------------------ #
     # model

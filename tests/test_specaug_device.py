@@ -52,3 +52,62 @@ def test_fused_fbank_specaug():
     assert feats.shape[-1] == 80
     assert int(feat_lens[0]) == 1 + (16000 - 400) // 160
     assert np.isfinite(np.asarray(feats)).all()
+
+
+def test_specsub_sources_are_earlier_original_frames():
+    """Every frame of the output equals some ORIGINAL frame at an index
+    ≤ its own (SpecSub reads from the pristine input, pos ≥ 0) — and at
+    least one frame actually changed."""
+    from masr_tpu.ops.specaug import specsub_jax
+    rs = np.random.RandomState(0)
+    B, T, F = 4, 60, 8
+    # make every frame unique so source indices are identifiable
+    feats = jnp.asarray(np.arange(B * T)[:, None].reshape(B, T, 1)
+                        * np.ones((1, F)), jnp.float32)
+    lens = jnp.asarray([60, 50, 41, 60], jnp.int32)
+    out = specsub_jax(feats, lens, jax.random.PRNGKey(3), max_t=20,
+                      num_t_sub=3)
+    out = np.asarray(out)
+    src = (out[:, :, 0] - np.arange(B)[:, None] * T).round().astype(int)
+    assert (src <= np.arange(T)[None, :]).all()
+    assert (src >= 0).all()
+    assert (src != np.arange(T)[None, :]).any()  # something substituted
+    # frames at/after the valid length are never substitution targets
+    for b, L in enumerate([60, 50, 41, 60]):
+        np.testing.assert_array_equal(src[b, L:], np.arange(L, T))
+
+
+def test_specsub_deterministic_per_rng():
+    from masr_tpu.ops.specaug import specsub_jax
+    rs = np.random.RandomState(1)
+    feats = jnp.asarray(rs.standard_normal((2, 40, 6)), jnp.float32)
+    lens = jnp.asarray([40, 33], jnp.int32)
+    a = specsub_jax(feats, lens, jax.random.PRNGKey(0))
+    b = specsub_jax(feats, lens, jax.random.PRNGKey(0))
+    c = specsub_jax(feats, lens, jax.random.PRNGKey(9))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_device_frontend_applies_specsub():
+    """make_device_frontend with a specsub conf substitutes frames in
+    train mode and stays deterministic (no specsub) in eval mode."""
+    from masr_tpu.ops.specaug import make_device_frontend
+    pre = {"feature_method": "fbank", "n_mels": 20, "sample_rate": 16000}
+    rs = np.random.RandomState(2)
+    wav = jnp.asarray(rs.standard_normal((2, 16000)) * 3000, jnp.float32)
+    lens = jnp.asarray([16000, 12000], jnp.int32)
+    plain = make_device_frontend(pre, {"F": 0, "T": 0, "n_freq_masks": 0,
+                                       "n_time_masks": 0})
+    withsub = make_device_frontend(pre, {"F": 0, "T": 0, "n_freq_masks": 0,
+                                         "n_time_masks": 0},
+                                   {"max_t": 15, "num_t_sub": 3})
+    rng = jax.random.PRNGKey(0)
+    f_plain, l1 = plain(wav, lens, rng, True)
+    f_sub, l2 = withsub(wav, lens, rng, True)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    assert not np.array_equal(np.asarray(f_plain), np.asarray(f_sub))
+    # eval path ignores augmentation entirely
+    e1, _ = plain(wav, lens, rng, False)
+    e2, _ = withsub(wav, lens, rng, False)
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
