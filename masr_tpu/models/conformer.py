@@ -47,6 +47,7 @@ class ConformerEncoderLayer(nn.Module):
     activation_type: str = "swish"
     rel_pos: bool = True
     use_flash_attention: bool = False
+    use_fused_layer: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def make_attention(self):
@@ -132,6 +133,22 @@ class ConformerEncoderLayer(nn.Module):
             x = self.norm_final(x)
         return x, new_att_cache, new_cnn_cache
 
+    def fused_full_context(self, x, lens, pos_emb):
+        """Whole-layer fused Pallas forward (serving, full context; see
+        ops/pallas/conformer_layer.py). Reads the already-initialized
+        param tree of the bound submodules directly."""
+        from masr_tpu.ops.pallas.conformer_layer import (
+            fused_conformer_layer, pack_layer_params)
+        packed = pack_layer_params(self.variables["params"], self.dtype)
+        pos_p = jnp.einsum(
+            "td,de->te", pos_emb[0].astype(self.dtype),
+            packed.pop("linear_pos"),
+            preferred_element_type=jnp.float32).astype(self.dtype)
+        return fused_conformer_layer(
+            x, lens, pos_p, packed, n_head=self.attention_heads,
+            ksize=self.cnn_module_kernel, causal=self.causal,
+            ff_scale=self.ff_scale)
+
 
 class ConformerEncoder(nn.Module):
     """(parity: conformer/encoder.py:166-420)."""
@@ -156,6 +173,7 @@ class ConformerEncoder(nn.Module):
     causal: bool = False
     cnn_module_norm: str = "layer_norm"
     use_flash_attention: bool = False
+    use_fused_layer: bool = False
     cmvn: Any = None
     dtype: jnp.dtype = jnp.float32
 
@@ -177,7 +195,8 @@ class ConformerEncoder(nn.Module):
             cnn_module_norm=self.cnn_module_norm, causal=self.causal,
             activation_type=self.activation_type,
             rel_pos=self.pos_enc_layer_type == "rel_pos",
-            use_flash_attention=self.use_flash_attention, dtype=self.dtype,
+            use_flash_attention=self.use_flash_attention,
+            use_fused_layer=self.use_fused_layer, dtype=self.dtype,
             name=f"layer_{i}") for i in range(self.num_blocks)]
         self.after_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                                        name="after_norm")
@@ -208,11 +227,31 @@ class ConformerEncoder(nn.Module):
             T2, masks, self.use_dynamic_chunk, self.use_dynamic_left_chunk,
             decoding_chunk_size, self.static_chunk_size,
             num_decoding_left_chunks, rng=rng)
-        for layer in self.encoders:
-            xs, _, _ = layer(xs, chunk_masks, pos_emb, mask_pad, train=train)
+        if self._fused_eligible(decoding_chunk_size, train, T2):
+            lens2 = masks[:, 0, :].sum(axis=1).astype(jnp.int32)
+            for layer in self.encoders:
+                xs = layer.fused_full_context(xs, lens2, pos_emb)
+        else:
+            for layer in self.encoders:
+                xs, _, _ = layer(xs, chunk_masks, pos_emb, mask_pad,
+                                 train=train)
         if self.normalize_before:
             xs = self.after_norm(xs)
         return xs, masks
+
+    def _fused_eligible(self, decoding_chunk_size, train, T):
+        """Whole-layer fused kernel: serving-only, full context, standard
+        macaron/conv/rel-pos layer shape, and within the VMEM budget."""
+        if not (self.use_fused_layer and not train
+                and decoding_chunk_size == -1 and not self.is_initializing()
+                and self.pos_enc_layer_type == "rel_pos"
+                and self.normalize_before and self.macaron_style
+                and self.use_cnn_module
+                and self.cnn_module_norm == "layer_norm"):
+            return False
+        from masr_tpu.ops.pallas.conformer_layer import fused_layer_supported
+        return fused_layer_supported(T, self.output_size, self.linear_units,
+                                     self.dtype)
 
     def forward_chunk(self, xs, offset, att_cache, cnn_cache, cache_len):
         """One streaming chunk (parity: encoder.py:348-420, fixed shapes).

@@ -1,0 +1,82 @@
+"""Fused whole-layer Pallas kernel (ops/pallas/conformer_layer.py):
+equivalence with the XLA layer path (interpret mode on CPU) and the
+eligibility guards."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from masr_tpu.models.cmvn import GlobalCMVN
+from masr_tpu.models.conformer import ConformerEncoder
+
+KW = dict(input_size=80, output_size=64, attention_heads=2,
+          linear_units=96, num_blocks=2, cnn_module_kernel=7,
+          dropout_rate=0.0, attention_dropout_rate=0.0,
+          positional_dropout_rate=0.0)
+
+
+def _build_pair(causal, **extra):
+    cmvn = GlobalCMVN(np.zeros(80), np.ones(80))
+    enc0 = ConformerEncoder(causal=causal, cmvn=cmvn, **KW, **extra)
+    enc1 = ConformerEncoder(causal=causal, cmvn=cmvn, use_fused_layer=True,
+                            **KW, **extra)
+    rs = np.random.RandomState(3)
+    speech = jnp.asarray(rs.standard_normal((3, 131, 80)), jnp.float32)
+    lens = jnp.asarray([131, 100, 52])
+    v = enc0.init({"params": jax.random.PRNGKey(0)}, speech, lens)
+    return enc0, enc1, v, speech, lens
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_fused_matches_xla_full_context(causal):
+    enc0, enc1, v, speech, lens = _build_pair(causal)
+    out0, m0 = enc0.apply(v, speech, lens, decoding_chunk_size=-1,
+                          num_decoding_left_chunks=-1)
+    out1, m1 = enc1.apply(v, speech, lens, decoding_chunk_size=-1,
+                          num_decoding_left_chunks=-1)
+    assert bool(jnp.all(m0 == m1))
+    valid = np.asarray(m0[:, 0, :])
+    np.testing.assert_allclose(np.asarray(out0)[valid],
+                               np.asarray(out1)[valid],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_falls_back_for_chunked_decode():
+    """decoding_chunk_size != -1 must take the XLA path → bit-identical."""
+    enc0, enc1, v, speech, lens = _build_pair(True)
+    out0, _ = enc0.apply(v, speech, lens, decoding_chunk_size=8,
+                         num_decoding_left_chunks=2)
+    out1, _ = enc1.apply(v, speech, lens, decoding_chunk_size=8,
+                         num_decoding_left_chunks=2)
+    np.testing.assert_array_equal(np.asarray(out0), np.asarray(out1))
+
+
+def test_fused_falls_back_in_train_mode():
+    """train=True must take the XLA path (dropout etc.) → identical with
+    the same rngs."""
+    enc0, enc1, v, speech, lens = _build_pair(True)
+    rngs = {"dropout": jax.random.PRNGKey(1), "chunk": jax.random.PRNGKey(2)}
+    out0, _ = enc0.apply(v, speech, lens, train=True, rngs=rngs)
+    out1, _ = enc1.apply(v, speech, lens, train=True, rngs=rngs)
+    np.testing.assert_array_equal(np.asarray(out0), np.asarray(out1))
+
+
+def test_fused_vmem_guard():
+    from masr_tpu.ops.pallas.conformer_layer import fused_layer_supported
+    assert fused_layer_supported(300, 256, 2048, jnp.bfloat16)
+    # long-form T blows the scores budget → must fall back
+    assert not fused_layer_supported(4800, 256, 2048, jnp.bfloat16)
+
+
+def test_fused_bf16_smoke():
+    cmvn = GlobalCMVN(np.zeros(80), np.ones(80))
+    enc1 = ConformerEncoder(causal=True, cmvn=cmvn, use_fused_layer=True,
+                            dtype=jnp.bfloat16, **KW)
+    rs = np.random.RandomState(4)
+    speech = jnp.asarray(rs.standard_normal((2, 67, 80)), jnp.float32)
+    lens = jnp.asarray([67, 50])
+    v = enc1.init({"params": jax.random.PRNGKey(0)}, speech, lens)
+    out, m = enc1.apply(v, speech, lens, decoding_chunk_size=-1,
+                        num_decoding_left_chunks=-1)
+    assert out.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(out, np.float32)).all()
