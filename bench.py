@@ -63,11 +63,11 @@ def log(msg):
     print(f"# {msg}", file=sys.stderr)
 
 
-def build(dtype, use_flash=False):
+def build(dtype, use_flash=False, use_fused=True):
     import jax.numpy as jnp
     from masr_tpu.models.cmvn import GlobalCMVN
     from masr_tpu.models.registry import build_model
-    enc = dict(ENC, use_flash_attention=use_flash)
+    enc = dict(ENC, use_flash_attention=use_flash, use_fused_layer=use_fused)
     return build_model(
         "conformer", FEAT, VOCAB_SIZE, streaming=True, encoder_conf=enc,
         decoder_conf=DEC, model_conf=dict(ctc_weight=0.3),
@@ -302,24 +302,32 @@ def main():
         log(f"batched streaming B={B} (bf16): {per_step * 1e3:.2f} ms/step, "
             f"{streams_rtf:.0f}x realtime/chip, MFU {serving[B]['mfu']}")
 
-    # batched full-context encode (serving `predict`), bf16, flash on/off
+    # batched full-context encode (serving `predict`), bf16: fused
+    # whole-layer Pallas kernel (the default) vs the XLA path vs flash
+    # attention. XLA's cost_analysis cannot count FLOPs inside Pallas
+    # kernels, so the xla variant's count prices all three (same math).
     T_full = 1200  # 12 s utterances
     full = {}
-    for flash in (False, True):
-        key = "flash" if flash else "xla"
+    xla_flops_count = None
+    for key, kw in (("xla", dict(use_fused=False)),
+                    ("fused", dict(use_fused=True)),
+                    ("flash", dict(use_fused=False, use_flash=True))):
         try:
-            model_fc = build("bf16", use_flash=flash)
+            model_fc = build("bf16", **kw)
             vars_fc = init_vars(model_fc)
             secs, flops = bench_full_context(model_fc, vars_fc, batch=32,
-                                             T=T_full)
+                                             T=T_full, K=64)
         except Exception as e:  # pallas needs a real TPU backend
-            log(f"full-context {key} attention unavailable: {e}")
+            log(f"full-context {key} unavailable: {e}")
             full[key] = dict(ms=None, rtf=None, mfu=None)
             continue
+        if key == "xla":
+            xla_flops_count = flops
         audio_s = 32 * T_full * 0.01
         full[key] = dict(
-            ms=secs * 1e3, rtf=audio_s / secs, mfu=mfu(flops, secs, peak))
-        log(f"full-context encode B=32×12 s (bf16, {key} attention): "
+            ms=secs * 1e3, rtf=audio_s / secs,
+            mfu=mfu(xla_flops_count, secs, peak))
+        log(f"full-context encode B=32×12 s (bf16, {key}): "
             f"{secs * 1e3:.1f} ms, {audio_s / secs:.0f}x realtime, "
             f"MFU {full[key]['mfu']}")
 
@@ -369,9 +377,11 @@ def main():
         "serving_b128_mfu": serving[128]["mfu"],
         "full_context_b32_rtf_xla":
             round(full["xla"]["rtf"], 1) if full["xla"]["rtf"] else None,
+        "full_context_b32_rtf_fused":
+            round(full["fused"]["rtf"], 1) if full["fused"]["rtf"] else None,
         "full_context_b32_rtf_flash":
             round(full["flash"]["rtf"], 1) if full["flash"]["rtf"] else None,
-        "full_context_b32_mfu": full["xla"]["mfu"],
+        "full_context_b32_mfu": full["fused"]["mfu"] or full["xla"]["mfu"],
         "train_step_ms": round(train_secs * 1e3, 1),
         "train_mfu": train_mfu,
         "device_beam_ms_per_utt": round(beam_ms_utt, 2),

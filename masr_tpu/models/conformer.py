@@ -173,7 +173,10 @@ class ConformerEncoder(nn.Module):
     causal: bool = False
     cnn_module_norm: str = "layer_norm"
     use_flash_attention: bool = False
-    use_fused_layer: bool = False
+    # whole-layer fused Pallas kernel for full-context serving (default on;
+    # only engages on a TPU backend and when _fused_eligible holds —
+    # disable via encoder_conf.use_fused_layer: false)
+    use_fused_layer: bool = True
     cmvn: Any = None
     dtype: jnp.dtype = jnp.float32
 
@@ -249,9 +252,11 @@ class ConformerEncoder(nn.Module):
                 and self.use_cnn_module
                 and self.cnn_module_norm == "layer_norm"):
             return False
-        from masr_tpu.ops.pallas.conformer_layer import fused_layer_supported
-        return fused_layer_supported(T, self.output_size, self.linear_units,
-                                     self.dtype)
+        from masr_tpu.ops.pallas import conformer_layer as cl
+        if not (jax.default_backend() == "tpu" or cl.FORCE_ON_CPU):
+            return False       # interpret mode on CPU would crawl
+        return cl.fused_layer_supported(T, self.output_size,
+                                        self.linear_units, self.dtype)
 
     def forward_chunk(self, xs, offset, att_cache, cnn_cache, cache_len):
         """One streaming chunk (parity: encoder.py:348-420, fixed shapes).

@@ -31,6 +31,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 VMEM_BYTES = 16 * 1024 * 1024
+# tests flip this to route the fused path (interpret mode) on CPU, where
+# eligibility otherwise requires a real TPU backend
+FORCE_ON_CPU = False
 
 
 def _kernel(lens_ref, x_ref, lnw_ref, ffw1_ref, ffb1_ref, ffw2_ref,

@@ -9,15 +9,27 @@ import pytest
 from masr_tpu.models.cmvn import GlobalCMVN
 from masr_tpu.models.conformer import ConformerEncoder
 
+import masr_tpu.ops.pallas.conformer_layer as cl
+
 KW = dict(input_size=80, output_size=64, attention_heads=2,
           linear_units=96, num_blocks=2, cnn_module_kernel=7,
           dropout_rate=0.0, attention_dropout_rate=0.0,
           positional_dropout_rate=0.0)
 
 
+@pytest.fixture(autouse=True)
+def _route_fused_on_cpu():
+    """Eligibility requires a TPU backend; force the interpret-mode route
+    so these CPU tests actually exercise the kernel."""
+    cl.FORCE_ON_CPU = True
+    yield
+    cl.FORCE_ON_CPU = False
+
+
 def _build_pair(causal, **extra):
     cmvn = GlobalCMVN(np.zeros(80), np.ones(80))
-    enc0 = ConformerEncoder(causal=causal, cmvn=cmvn, **KW, **extra)
+    enc0 = ConformerEncoder(causal=causal, cmvn=cmvn, use_fused_layer=False,
+                            **KW, **extra)
     enc1 = ConformerEncoder(causal=causal, cmvn=cmvn, use_fused_layer=True,
                             **KW, **extra)
     rs = np.random.RandomState(3)
@@ -66,6 +78,18 @@ def test_fused_vmem_guard():
     assert fused_layer_supported(300, 256, 2048, jnp.bfloat16)
     # long-form T blows the scores budget → must fall back
     assert not fused_layer_supported(4800, 256, 2048, jnp.bfloat16)
+
+
+def test_fused_requires_tpu_backend_by_default():
+    """Without FORCE_ON_CPU, a CPU backend must fall back to XLA even with
+    use_fused_layer=True (the session default)."""
+    cl.FORCE_ON_CPU = False
+    enc0, enc1, v, speech, lens = _build_pair(True)
+    out0, _ = enc0.apply(v, speech, lens, decoding_chunk_size=-1,
+                         num_decoding_left_chunks=-1)
+    out1, _ = enc1.apply(v, speech, lens, decoding_chunk_size=-1,
+                         num_decoding_left_chunks=-1)
+    np.testing.assert_array_equal(np.asarray(out0), np.asarray(out1))
 
 
 def test_fused_bf16_smoke():
