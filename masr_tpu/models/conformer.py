@@ -411,7 +411,12 @@ class ConformerModel(nn.Module):
         return loss_att, acc_att
 
     def get_encoder_out(self, speech, speech_lengths):
-        """Full-context CTC softmax (model.py:152-167) → (probs, out_lens)."""
+        """Full-context CTC softmax (model.py:152-167) → (probs, out_lens).
+
+        The CTC head stays on the XLA path deliberately: a fused
+        logits+softmax Pallas kernel measured SLOWER (8.45/8.48 ms vs
+        8.17 ms full-context at block_r 128/512) — XLA's own softmax
+        fusion already keeps the logits traffic off HBM."""
         encoder_out, mask = self.encoder(speech, speech_lengths,
                                          decoding_chunk_size=-1,
                                          num_decoding_left_chunks=-1)
