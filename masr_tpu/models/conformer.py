@@ -149,6 +149,25 @@ class ConformerEncoderLayer(nn.Module):
             ksize=self.cnn_module_kernel, causal=self.causal,
             ff_scale=self.ff_scale)
 
+    def fused_train(self, x, amask, seeds, lens, pos_emb):
+        """Whole-layer fused TRAIN step: Pallas forward with in-kernel
+        dropout + hand-written backward with recompute
+        (ops/pallas/conformer_layer_train.py)."""
+        from masr_tpu.ops.pallas.conformer_layer import pack_layer_params
+        from masr_tpu.ops.pallas.conformer_layer_train import (
+            fused_conformer_layer_train)
+        packed = pack_layer_params(self.variables["params"], self.dtype)
+        packed["posp"] = jnp.einsum(
+            "td,de->te", pos_emb[0].astype(self.dtype),
+            packed.pop("linear_pos"),
+            preferred_element_type=jnp.float32).astype(self.dtype)[None]
+        interpret = jax.default_backend() != "tpu"
+        return fused_conformer_layer_train(
+            x, amask, seeds, lens, packed, self.attention_heads,
+            self.cnn_module_kernel, self.causal, self.ff_scale, 1e-5,
+            float(self.dropout_rate), float(self.attention_dropout_rate),
+            True, interpret)
+
 
 class ConformerEncoder(nn.Module):
     """(parity: conformer/encoder.py:166-420)."""
@@ -177,6 +196,9 @@ class ConformerEncoder(nn.Module):
     # only engages on a TPU backend and when _fused_eligible holds —
     # disable via encoder_conf.use_fused_layer: false)
     use_fused_layer: bool = True
+    # fused train step (fwd + hand-written bwd with recompute,
+    # ops/pallas/conformer_layer_train.py); same TPU-backend gating
+    use_fused_layer_train: bool = True
     cmvn: Any = None
     dtype: jnp.dtype = jnp.float32
 
@@ -234,6 +256,18 @@ class ConformerEncoder(nn.Module):
             lens2 = masks[:, 0, :].sum(axis=1).astype(jnp.int32)
             for layer in self.encoders:
                 xs = layer.fused_full_context(xs, lens2, pos_emb)
+        elif self._fused_train_eligible(train, T2):
+            lens2 = masks[:, 0, :].sum(axis=1).astype(jnp.int32)
+            B = xs.shape[0]
+            amask = jnp.broadcast_to(chunk_masks, (B, T2, T2))
+            if self.dropout_rate > 0 or self.attention_dropout_rate > 0:
+                seeds = jax.random.randint(
+                    self.make_rng("dropout"), (len(self.encoders), B), 0,
+                    jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+            else:
+                seeds = jnp.zeros((len(self.encoders), B), jnp.int32)
+            for i, layer in enumerate(self.encoders):
+                xs = layer.fused_train(xs, amask, seeds[i], lens2, pos_emb)
         else:
             for layer in self.encoders:
                 xs, _, _ = layer(xs, chunk_masks, pos_emb, mask_pad,
@@ -257,6 +291,22 @@ class ConformerEncoder(nn.Module):
             return False       # interpret mode on CPU would crawl
         return cl.fused_layer_supported(T, self.output_size,
                                         self.linear_units, self.dtype)
+
+    def _fused_train_eligible(self, train, T):
+        if not (self.use_fused_layer_train and train
+                and not self.is_initializing()
+                and self.pos_enc_layer_type == "rel_pos"
+                and self.normalize_before and self.macaron_style
+                and self.use_cnn_module
+                and self.cnn_module_norm == "layer_norm"):
+            return False
+        from masr_tpu.ops.pallas import conformer_layer as cl
+        if not (jax.default_backend() == "tpu" or cl.FORCE_ON_CPU):
+            return False
+        from masr_tpu.ops.pallas.conformer_layer_train import (
+            fused_train_supported)
+        return fused_train_supported(T, self.output_size,
+                                     self.linear_units, self.dtype)
 
     def forward_chunk(self, xs, offset, att_cache, cnn_cache, cache_len):
         """One streaming chunk (parity: encoder.py:348-420, fixed shapes).

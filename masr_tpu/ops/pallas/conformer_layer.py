@@ -122,6 +122,12 @@ def _kernel(lens_ref, x_ref, lnw_ref, ffw1_ref, ffb1_ref, ffw2_ref,
     xm = jnp.where(row_ok, layer_norm(x, 2), 0.0)
     gx = matmul(xm, pw1w_ref[:]) + pw1b_ref[0:1, :]
     u_glu = gx[:, :D] * jax.nn.sigmoid(gx[:, D:])  # GLU
+    # CAUSAL pads x BEFORE pointwise_conv1 (flax convolution.py), so those
+    # rows carry GLU(pw1 bias); non-causal pads zeros inside the depthwise
+    if causal:
+        pad_row = pw1b_ref[0:1, :D] * jax.nn.sigmoid(pw1b_ref[0:1, D:])
+    else:
+        pad_row = jnp.zeros((1, D), jnp.float32)
     left = ksize - 1 if causal else (ksize - 1) // 2
     right = 0 if causal else (ksize - 1) // 2
     conv_rows = []
@@ -129,9 +135,9 @@ def _kernel(lens_ref, x_ref, lnw_ref, ffw1_ref, ffb1_ref, ffw2_ref,
         seg = u_glu[u * T:(u + 1) * T, :]
         pieces = [seg]
         if left:                                 # Mosaic rejects 0-sized ops
-            pieces.insert(0, jnp.zeros((left, D), jnp.float32))
+            pieces.insert(0, jnp.broadcast_to(pad_row, (left, D)))
         if right:
-            pieces.append(jnp.zeros((right, D), jnp.float32))
+            pieces.append(jnp.broadcast_to(pad_row, (right, D)))
         upad = jnp.concatenate(pieces, axis=0) if len(pieces) > 1 else seg
         acc = jnp.zeros((T, D), jnp.float32)
         for i in range(ksize):                   # depthwise conv on the VPU

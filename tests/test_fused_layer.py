@@ -36,6 +36,12 @@ def _build_pair(causal, **extra):
     speech = jnp.asarray(rs.standard_normal((3, 131, 80)), jnp.float32)
     lens = jnp.asarray([131, 100, 52])
     v = enc0.init({"params": jax.random.PRNGKey(0)}, speech, lens)
+    # nonzero biases everywhere: fresh-init zeros once masked a parity bug
+    # in the conv module's pre-pointwise time padding
+    leaves, treedef = jax.tree.flatten(v)
+    v = jax.tree.unflatten(treedef, [
+        l + jnp.asarray(rs.standard_normal(l.shape) * 0.05, l.dtype)
+        for l in leaves])
     return enc0, enc1, v, speech, lens
 
 
