@@ -200,7 +200,9 @@ def bench_e2e_stream(tmpdir):
 
 def bench_train_step():
     """Full-size conformer train step, B=16 × 12 s, bf16 AMP →
-    (per_step_s, flops)."""
+    (per_step_s, flops). Times the default (fused-layer) step; FLOPs are
+    counted on the XLA-path variant (cost_analysis can't see inside
+    Pallas kernels — same math either way)."""
     import jax
     import jax.numpy as jnp
     from masr_tpu.optimizer.schedulers import build_optimizer
@@ -224,7 +226,15 @@ def bench_train_step():
     from masr_tpu.training.train_state import train_rng
     step_fn = make_train_step(model, tx)
     rng = train_rng(0)  # production RNG impl (rbg): see train_state.train_rng
-    flops = xla_flops(jax.jit(step_fn), state, batch0, rng)
+    from masr_tpu.models.registry import build_model
+    from masr_tpu.models.cmvn import GlobalCMVN
+    enc_xla = dict(ENC, use_fused_layer=False, use_fused_layer_train=False)
+    model_x = build_model(
+        "conformer", FEAT, VOCAB_SIZE, streaming=True, encoder_conf=enc_xla,
+        decoder_conf=DEC, model_conf=dict(ctc_weight=0.3),
+        cmvn=GlobalCMVN(np.zeros(FEAT), np.ones(FEAT)), dtype=jnp.bfloat16)
+    step_x = make_train_step(model_x, tx)
+    flops = xla_flops(jax.jit(step_x), state, batch0, rng)
 
     # K chained optimizer steps inside ONE jitted scan: per-step time is
     # free of the remote-tunnel dispatch RTT, matching how a real train
