@@ -238,8 +238,9 @@ def bench_train_step():
 
     # K chained optimizer steps inside ONE jitted scan: per-step time is
     # free of the remote-tunnel dispatch RTT, matching how a real train
-    # loop pipelines (async dispatch hides host latency)
-    K = 8
+    # loop pipelines (async dispatch hides host latency). K=32 keeps the
+    # ~40 ms RTT below 1.5 ms/step of pollution (K=8 added ~5 ms/step).
+    K = 32
 
     @jax.jit
     def steps_k(state, batch, rng):

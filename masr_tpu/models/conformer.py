@@ -289,6 +289,9 @@ class ConformerEncoder(nn.Module):
         from masr_tpu.ops.pallas import conformer_layer as cl
         if not (jax.default_backend() == "tpu" or cl.FORCE_ON_CPU):
             return False       # interpret mode on CPU would crawl
+        if jax.default_backend() == "tpu" and jax.device_count() > 1:
+            return False       # GSPMD can't auto-partition a pallas_call;
+            # multi-chip keeps the XLA path (shard_map integration TBD)
         return cl.fused_layer_supported(T, self.output_size,
                                         self.linear_units, self.dtype)
 
@@ -303,6 +306,8 @@ class ConformerEncoder(nn.Module):
         from masr_tpu.ops.pallas import conformer_layer as cl
         if not (jax.default_backend() == "tpu" or cl.FORCE_ON_CPU):
             return False
+        if jax.default_backend() == "tpu" and jax.device_count() > 1:
+            return False       # see _fused_eligible: no GSPMD partitioning
         from masr_tpu.ops.pallas.conformer_layer_train import (
             fused_train_supported)
         return fused_train_supported(T, self.output_size,
