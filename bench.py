@@ -85,22 +85,31 @@ def init_vars(model):
         jnp.ones((1, 4), jnp.int32), jnp.asarray([4]), train=False)
 
 
-def bench_stream_scan(model, variables, batch, K):
+def bench_stream_scan(model, variables, batch, K, fused=False):
     """Scanned chunk stream: K distinct steps in one dispatch →
-    (per_step_s, flops_per_step)."""
+    (per_step_s, flops_per_step). fused=True uses the batched fused
+    chunk step (ops/pallas/chunk_layer.py) — the path the batched
+    serving engine routes on TPU; it additionally supports per-slot
+    offsets/validity (batch_stream.py)."""
     import jax
     import jax.numpy as jnp
     cache_size = CHUNK * 16
-    state = model.apply(variables, method=lambda m: m.encoder.init_cache(
-        batch=batch, cache_size=cache_size))
+    if fused:
+        tmpl = model.apply(variables, method=lambda m: m.encoder.init_cache(
+            batch=1, cache_size=cache_size))
+        state = jax.tree.map(lambda x: jnp.stack([x] * batch), tmpl)
+        method = type(model).get_encoder_out_chunk_batched
+    else:
+        state = model.apply(variables, method=lambda m: m.encoder.init_cache(
+            batch=batch, cache_size=cache_size))
+        method = type(model).get_encoder_out_chunk
     xs = jnp.asarray(np.random.RandomState(batch).standard_normal(
         (K, batch, WINDOW, FEAT)), jnp.float32)
 
     @jax.jit
     def stream(variables, xs, state):
         def body(st, x):
-            probs, st = model.apply(
-                variables, x, st, method=type(model).get_encoder_out_chunk)
+            probs, st = model.apply(variables, x, st, method=method)
             return st, jnp.sum(probs.astype(jnp.float32))
         st, out = jax.lax.scan(body, state, xs)
         return st, jnp.sum(out)
@@ -299,18 +308,29 @@ def main():
         f"includes per-call dispatch transport — ~40 ms RTT through this "
         f"box's remote-TPU tunnel, sub-ms on a local chip)")
 
-    # batched streaming serving, bf16
+    # batched streaming serving, bf16 — the fused batched chunk step (the
+    # path the serving engine routes on TPU); K deep enough to amortize
+    # the ~40 ms dispatch RTT
     model_bf16 = build("bf16")
     vars_bf16 = init_vars(model_bf16)
+    use_fused_chunk = False
+    try:
+        use_fused_chunk = bool(model_bf16.apply(
+            vars_bf16, CHUNK, CHUNK * 16,
+            method=type(model_bf16).chunk_fused_ok))
+    except Exception:
+        pass
     serving = {}
     for B in (32, 128):
-        per_step, flops = bench_stream_scan(model_bf16, vars_bf16,
-                                            batch=B, K=50)
+        per_step, flops = bench_stream_scan(model_bf16, vars_bf16, batch=B,
+                                            K=200, fused=use_fused_chunk)
         streams_rtf = B * AUDIO_PER_CHUNK / per_step
         serving[B] = dict(ms=per_step * 1e3,
                           rtf=streams_rtf,
                           mfu=mfu(flops, per_step, peak))
-        log(f"batched streaming B={B} (bf16): {per_step * 1e3:.2f} ms/step, "
+        log(f"batched streaming B={B} (bf16"
+            f"{', fused chunk step' if use_fused_chunk else ''}): "
+            f"{per_step * 1e3:.2f} ms/step, "
             f"{streams_rtf:.0f}x realtime/chip, MFU {serving[B]['mfu']}")
 
     # batched full-context encode (serving `predict`), bf16: fused

@@ -57,13 +57,31 @@ class BatchStreamSession(object):
 
         vstep = jax.vmap(one_step, in_axes=(None, 0, 0))
 
+        # fused batched chunk step (one pallas_call per layer) when the
+        # model/config supports it — same semantics as the vmapped step
+        use_fused = False
+        if hasattr(type(model), "chunk_fused_ok"):
+            try:
+                use_fused = bool(model.apply(
+                    variables, DECODING_CHUNK_SIZE, self.ip.cache_size,
+                    method=type(model).chunk_fused_ok))
+            except Exception:
+                use_fused = False
+        self._use_fused_chunk = use_fused
+
         def encoder_step(variables, xs, states, active):
-            probs, new_states = vstep(variables, xs, states)
+            if use_fused:
+                probs, new_states = model.apply(
+                    variables, xs[:, 0], states,
+                    method=type(model).get_encoder_out_chunk_batched)
+            else:
+                probs4, new_states = vstep(variables, xs, states)
+                probs = probs4[:, 0]
             merged = jax.tree.map(
                 lambda new, old: jnp.where(
                     active.reshape((-1,) + (1,) * (new.ndim - 1)), new, old),
                 new_states, states)
-            return probs[:, 0], merged  # (N, CH, V)
+            return probs, merged  # (N, CH, V)
 
         self._dec_state = None
         if decoder == "ctc_beam_search_device":

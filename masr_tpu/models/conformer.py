@@ -357,6 +357,62 @@ class ConformerEncoder(nn.Module):
         return sinusoid_position_encoding(positions, self.output_size,
                                           self.dtype)[None]
 
+    def fused_chunk_eligible(self, chunk, cache_size):
+        """Whether forward_chunk_batched can take the fused kernel path."""
+        from masr_tpu.ops.pallas import conformer_layer as cl
+        from masr_tpu.ops.pallas.chunk_layer import chunk_layer_supported
+        if not ((jax.default_backend() == "tpu" or cl.FORCE_ON_CPU)
+                and self.pos_enc_layer_type == "rel_pos"
+                and self.normalize_before and self.macaron_style
+                and self.use_cnn_module and self.causal
+                and self.cnn_module_norm == "layer_norm"
+                and cache_size >= chunk):
+            return False
+        if jax.default_backend() == "tpu" and jax.device_count() > 1:
+            return False
+        return chunk_layer_supported(chunk, cache_size, self.output_size,
+                                     self.linear_units,
+                                     self.attention_heads, self.dtype)
+
+    def forward_chunk_batched(self, xs, offsets, att_cache, cnn_cache,
+                              cache_lens):
+        """Batched streaming chunk step with PER-SLOT offsets/validity —
+        the fused-kernel analogue of vmapping forward_chunk (one
+        pallas_call per layer; see ops/pallas/chunk_layer.py).
+
+        xs: (N, T_in, input_size); offsets, cache_lens: (N,) int32;
+        att_cache: (L, N, h, C, 2·d_k); cnn_cache: (L, N, lorder, D).
+        → (ys (N, chunk, D), new_att_cache, new_cnn_cache)."""
+        from masr_tpu.models.embedding import sinusoid_position_encoding
+        from masr_tpu.ops.pallas.chunk_layer import fused_chunk_layer
+        from masr_tpu.ops.pallas.conformer_layer import pack_layer_params
+        if self.cmvn is not None:
+            xs = self.cmvn(xs)
+        xs = xs.astype(self.dtype)
+        xs, _, _ = self.embed(xs, None, 0, False)   # offset-free (rel_pos)
+        N, chunk = xs.shape[0], xs.shape[1]
+        C = att_cache.shape[3]
+        L = C + chunk
+        positions = jnp.maximum(
+            (offsets - C)[:, None] + jnp.arange(L)[None, :], 0)
+        pos_emb = sinusoid_position_encoding(
+            positions.reshape(-1), self.output_size,
+            self.dtype).reshape(N, L, self.output_size)
+        new_att, new_cnn = [], []
+        for i, layer in enumerate(self.encoders):
+            packed = pack_layer_params(
+                layer.variables["params"], self.dtype)
+            wpos = packed.pop("linear_pos")
+            xs, a, cn = fused_chunk_layer(
+                xs, pos_emb, att_cache[i], cnn_cache[i], cache_lens,
+                packed, wpos, n_head=self.attention_heads,
+                ksize=self.cnn_module_kernel, ff_scale=layer.ff_scale)
+            new_att.append(a)
+            new_cnn.append(cn)
+        if self.normalize_before:
+            xs = self.after_norm(xs)
+        return xs, jnp.stack(new_att, 0), jnp.stack(new_cnn, 0)
+
     def init_cache(self, batch=1, cache_size=None, chunk_size=16,
                    num_left_chunks=16):
         """Zeroed streaming cache pytree."""
@@ -487,6 +543,35 @@ class ConformerModel(nn.Module):
         C = state["att_cache"].shape[3]
         new_state = {
             "att_cache": att, "cnn_cache": cnn,
+            "offset": state["offset"] + chunk,
+            "cache_len": jnp.minimum(state["cache_len"] + chunk, C),
+        }
+        return self.ctc.softmax(ys), new_state
+
+    def chunk_fused_ok(self, chunk, cache_size):
+        """Static check (run via apply, eagerly): can the batched chunk
+        step take the fused-kernel path for this model/config?"""
+        return (type(self.encoder) is ConformerEncoder
+                and self.encoder.fused_chunk_eligible(chunk, cache_size))
+
+    def get_encoder_out_chunk_batched(self, speech, state):
+        """Batched streaming chunk step over N slots with per-slot
+        offsets/cache validity (the batch engine's stacked-state layout:
+        every leaf leads with N; caches carry the per-slot batch=1 axis).
+        Semantically identical to vmapping get_encoder_out_chunk, but
+        runs ONE fused pallas_call per layer (ops/pallas/chunk_layer.py)
+        instead of ~20 small XLA ops."""
+        att = state["att_cache"]            # (N, L, 1, h, C, 2·d_k)
+        cnn = state["cnn_cache"]            # (N, L, 1, lorder, D)
+        C = att.shape[4]
+        att_l = att[:, :, 0].transpose(1, 0, 2, 3, 4)
+        cnn_l = cnn[:, :, 0].transpose(1, 0, 2, 3)
+        ys, na, nc = self.encoder.forward_chunk_batched(
+            speech, state["offset"], att_l, cnn_l, state["cache_len"])
+        chunk = ys.shape[1]
+        new_state = {
+            "att_cache": na.transpose(1, 0, 2, 3, 4)[:, :, None],
+            "cnn_cache": nc.transpose(1, 0, 2, 3)[:, :, None],
             "offset": state["offset"] + chunk,
             "cache_len": jnp.minimum(state["cache_len"] + chunk, C),
         }

@@ -1,0 +1,261 @@
+"""Fused STREAMING chunk-step Conformer layer (Pallas, TPU) — forward
+only, batched slots with per-slot KV/conv caches.
+
+The XLA streaming chunk step costs ~2.5 ms at B=32 (chunk 16) against a
+~0.4 ms bandwidth+compute floor: every layer concats the (B, h, C, 2·d_k)
+cache with the new keys, slices it back, and runs ~20 small fusions. Here
+ONE pallas_call per layer does the whole thing — macaron FFN → rel-pos
+MHSA over [cache ‖ chunk] → causal conv with ring cache → FFN → final
+LN — and writes the rolled caches in place of the concat-and-slice.
+
+Attention trick: with d_k = 64 the per-head score matmul contracts only
+128 lanes at M=16 — tiny. All heads are STACKED into one
+(h·c, 2·d_k) @ (h·(C+c), 2·d_k)^T matmul; cross-head blocks are masked
+off before the softmax (block-diagonal mask via iota arithmetic), so the
+A @ V_stack product needs no unstacking correction. One score matmul and
+one AV matmul per slot instead of 2·h.
+
+Cache semantics match models/attention.py / convolution.py exactly:
+right-aligned fixed-shape att cache with a per-slot validity count, and
+the conv ring cache holds PRE-pointwise rows (the flax module concats
+the cache before pointwise_conv1).
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _kernel(clen_ref, x_ref, pe_ref, ac_ref, cc_ref, lnw_ref, ffw1_ref,
+            ffb1_ref, ffw2_ref, vecb_ref, attw_ref, posb_ref, wpos_ref,
+            pw1w_ref, pw1b_ref, pw2w_ref, dww_ref,
+            y_ref, nac_ref, ncc_ref, qs_ref, ks_ref, vs_ref, *,
+            n_head, d_k, ksize, ff_scale, eps):
+    g = pl.program_id(0)
+    bs, c, D = x_ref.shape
+    C = ac_ref.shape[2]
+    L = C + c
+    M = bs * c
+    cdt = x_ref.dtype
+    x = x_ref[...].reshape(M, D).astype(jnp.float32)
+
+    def layer_norm(v, idx):
+        s = lnw_ref[idx, 0:1, :]
+        b = lnw_ref[idx, 1:2, :]
+        mu = jnp.mean(v, axis=1, keepdims=True)
+        var = jnp.mean(jnp.square(v - mu), axis=1, keepdims=True)
+        return (v - mu) * jax.lax.rsqrt(var + eps) * s + b
+
+    def mm(a, w):
+        return jax.lax.dot_general(a.astype(cdt), w.astype(cdt),
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def silu(v):
+        return v * jax.nn.sigmoid(v)
+
+    def ffn(v, i):
+        h = silu(mm(v, ffw1_ref[i]) + ffb1_ref[i:i + 1, :])
+        return mm(h, ffw2_ref[i]) + vecb_ref[i:i + 1, :]
+
+    # ---- macaron FFN (all slots share the row matmuls) ----
+    x = x + ff_scale * ffn(layer_norm(x, 0), 0)
+
+    # ---- rel-pos MHSA over [cache ‖ chunk] ----
+    xn = layer_norm(x, 1)
+    q = mm(xn, attw_ref[0]) + vecb_ref[2:3, :]
+    k = mm(xn, attw_ref[1]) + vecb_ref[3:4, :]
+    v = mm(xn, attw_ref[2]) + vecb_ref[4:5, :]
+    scale = 1.0 / (d_k ** 0.5)
+    # block-diagonal head mask + cache validity, shared shape (h·c, h·L)
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (n_head * c, n_head * L),
+                                        0) // c
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (n_head * c, n_head * L),
+                                       1)
+    col_head = col_idx // L
+    col_pos = col_idx - col_head * L
+    same_head = row_head == col_head
+    att_rows = []
+    for s in range(bs):
+        rows = slice(s * c, (s + 1) * c)
+        valid = clen_ref[g * bs + s]
+        # per-slot positional projection: (L, D) @ (D, D)
+        ph_full = mm(pe_ref[s].astype(jnp.float32), wpos_ref[...])
+        # build the head-stacked Q/K/V directly in scratch via STORES —
+        # Mosaic rejects concats whose operands sit at different LANE
+        # offsets (head h's column slice starts at lane h·d_k; the cache
+        # v-half at lane d_k)
+        for h in range(n_head):
+            sl = slice(h * d_k, (h + 1) * d_k)
+            qs_ref[h * c:(h + 1) * c, 0:d_k] = q[rows, sl] \
+                + posb_ref[0:1, sl]
+            qs_ref[h * c:(h + 1) * c, d_k:2 * d_k] = q[rows, sl] \
+                + posb_ref[1:2, sl]
+            ks_ref[h * L:h * L + C, 0:d_k] = \
+                ac_ref[s, h, :, 0:d_k].astype(jnp.float32)
+            ks_ref[h * L + C:(h + 1) * L, 0:d_k] = k[rows, sl]
+            ks_ref[h * L:(h + 1) * L, d_k:2 * d_k] = ph_full[:, sl]
+            vs_ref[h * L:h * L + C, :] = \
+                ac_ref[s, h, :, d_k:2 * d_k].astype(jnp.float32)
+            vs_ref[h * L + C:(h + 1) * L, :] = v[rows, sl]
+        v_stack = vs_ref[...]                           # (h·L, dk)
+        sc = jax.lax.dot_general(
+            qs_ref[...].astype(cdt), ks_ref[...].astype(cdt),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        # cache positions valid iff pos >= C - cache_len; chunk always
+        ok = same_head & ((col_pos >= C - valid) | (col_pos >= C))
+        sc = jnp.where(ok, sc, MASK_VALUE)
+        m = jnp.max(sc, axis=1, keepdims=True)
+        p = jnp.exp(sc - m)
+        p = jnp.where(ok, p, 0.0)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        attn = p / jnp.where(l == 0.0, 1.0, l)
+        # off-head-diagonal attn is zero → A @ V_stack is exact
+        o_stack = jax.lax.dot_general(
+            attn.astype(cdt), v_stack.astype(cdt), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (h·c, dk)
+        att_rows.append(jnp.concatenate(
+            [o_stack[h * c:(h + 1) * c, :] for h in range(n_head)], axis=1))
+        # rolled cache: drop the oldest c rows, append the chunk's kv
+        # (built as a value — Mosaic rejects ref-to-ref copies whose row
+        # offsets differ)
+        for h in range(n_head):
+            sl = slice(h * d_k, (h + 1) * d_k)
+            new_kv = jnp.concatenate([k[rows, sl], v[rows, sl]], axis=1)
+            old = ac_ref[s, h, :, :].astype(jnp.float32)
+            rolled = jnp.concatenate([old[c:, :], new_kv], axis=0)
+            nac_ref[s, h, :, :] = rolled.astype(nac_ref.dtype)
+    att = jnp.concatenate(att_rows, axis=0) if bs > 1 else att_rows[0]
+    x = x + mm(att, attw_ref[3]) + vecb_ref[5:6, :]
+
+    # ---- causal conv with ring cache (cache rows are PRE-pointwise) ----
+    xn2 = layer_norm(x, 2)
+    lorder = ksize - 1
+    conv_rows = []
+    for s in range(bs):
+        rows = slice(s * c, (s + 1) * c)
+        cin = jnp.concatenate(
+            [cc_ref[s].astype(jnp.float32), xn2[rows, :]], axis=0)
+        ncc_ref[s] = cin[c:, :].astype(ncc_ref.dtype)   # last lorder rows
+        gx = mm(cin, pw1w_ref[...]) + pw1b_ref[...]
+        u = gx[:, :D] * jax.nn.sigmoid(gx[:, D:])       # (lorder+c, D)
+        acc = jnp.zeros((c, D), jnp.float32)
+        for i in range(ksize):                           # VALID conv
+            acc = acc + u[i:i + c, :] * dww_ref[i:i + 1, :]
+        conv_rows.append(acc)
+    cv = jnp.concatenate(conv_rows, axis=0) if bs > 1 else conv_rows[0]
+    cv = cv + vecb_ref[6:7, :]
+    cv = silu(layer_norm(cv, 3))
+    cv = mm(cv, pw2w_ref[...]) + vecb_ref[7:8, :]
+    x = x + cv
+
+    # ---- final FFN + final LN ----
+    x = x + ff_scale * ffn(layer_norm(x, 4), 1)
+    y_ref[...] = layer_norm(x, 5).astype(y_ref.dtype).reshape(bs, c, D)
+
+
+def chunk_layer_supported(c, C, D, F, n_head, dtype=jnp.bfloat16):
+    """VMEM estimate at the default block_b."""
+    bs = pick_chunk_block_b(c, C, D, F, n_head, dtype)
+    return bs >= 1
+
+
+def _vmem(c, C, D, F, n_head, dtype, bs):
+    s = jnp.dtype(dtype).itemsize
+    L = C + c
+    weights = (4 * D * F + 7 * D * D + 2 * D * D) * s
+    caches = bs * n_head * C * 2 * (D // n_head) * s * 2 * 2  # in+out, dbuf
+    pe = bs * L * D * s * 2
+    att = n_head * c * n_head * L * 4 * 3     # stacked scores/attn + mask
+    act = 8 * bs * c * D * 4 + bs * c * F * 4 * 2
+    return weights + caches + pe + att + act
+
+
+def pick_chunk_block_b(c, C, D, F, n_head, dtype=jnp.bfloat16, max_bs=8):
+    for bs in range(max_bs, 0, -1):
+        if _vmem(c, C, D, F, n_head, dtype, bs) < int(13.5 * 1024 * 1024):
+            return bs
+    return 0
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_head", "ksize", "ff_scale", "eps", "block_b", "interpret"))
+def fused_chunk_layer(x, pos_emb, att_cache, cnn_cache, cache_lens, params,
+                      wpos, *, n_head, ksize, ff_scale=0.5, eps=1e-5,
+                      block_b=None, interpret=None):
+    """x: (B, c, D) chunk after subsampling; pos_emb: (B, C+c, D) per-slot
+    sinusoid positions (offset-dependent); att_cache: (B, h, C, 2·d_k)
+    right-aligned; cnn_cache: (B, lorder, D); cache_lens: (B,) int32;
+    params: pack_layer_params dict (without posp); wpos: (D, D)
+    linear_pos kernel. → (y (B, c, D), new_att_cache, new_cnn_cache)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, c, D = x.shape
+    C = att_cache.shape[2]
+    F = params["ffw1"].shape[2]
+    bs = block_b or pick_chunk_block_b(c, C, D, F, n_head, x.dtype)
+    bs = max(1, min(bs, B))
+    pad_b = (-B) % bs
+    if pad_b:
+        x = jnp.pad(x, ((0, pad_b), (0, 0), (0, 0)))
+        pos_emb = jnp.pad(pos_emb, ((0, pad_b), (0, 0), (0, 0)))
+        att_cache = jnp.pad(att_cache, ((0, pad_b),) + ((0, 0),) * 3)
+        cnn_cache = jnp.pad(cnn_cache, ((0, pad_b), (0, 0), (0, 0)))
+        cache_lens = jnp.pad(cache_lens, (0, pad_b))
+    Bp = B + pad_b
+    L = C + c
+    lorder = ksize - 1
+    const = lambda shape: pl.BlockSpec(shape, lambda b, *_: (0,) * len(shape))
+    bspec = lambda shape: pl.BlockSpec(
+        shape, lambda b, *_: (b,) + (0,) * (len(shape) - 1))
+    y, nac, ncc = pl.pallas_call(
+        functools.partial(_kernel, n_head=n_head, d_k=D // n_head,
+                          ksize=ksize, ff_scale=ff_scale, eps=eps),
+        out_shape=(jax.ShapeDtypeStruct((Bp, c, D), x.dtype),
+                   jax.ShapeDtypeStruct(att_cache.shape, att_cache.dtype),
+                   jax.ShapeDtypeStruct(cnn_cache.shape, cnn_cache.dtype)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(Bp // bs,),
+            in_specs=[
+                bspec((bs, c, D)),                    # x
+                bspec((bs, L, D)),                    # pos_emb
+                bspec((bs, n_head, C, 2 * (D // n_head))),   # att cache
+                bspec((bs, lorder, D)),               # cnn cache
+                const((6, 2, D)),                     # lnw
+                const((2, D, F)),                     # ffw1
+                const((2, F)),                        # ffb1
+                const((2, F, D)),                     # ffw2
+                const((8, D)),                        # vecb
+                const((4, D, D)),                     # attw
+                const((2, D)),                        # posb
+                const((D, D)),                        # wpos
+                const((D, 2 * D)),                    # pw1w
+                const((1, 2 * D)),                    # pw1b
+                const((D, D)),                        # pw2w
+                const((ksize, D)),                    # dww
+            ],
+            out_specs=(bspec((bs, c, D)),
+                       bspec((bs, n_head, C, 2 * (D // n_head))),
+                       bspec((bs, lorder, D))),
+            scratch_shapes=[
+                pltpu.VMEM((n_head * c, 2 * (D // n_head)), jnp.float32),
+                pltpu.VMEM((n_head * L, 2 * (D // n_head)), jnp.float32),
+                pltpu.VMEM((n_head * L, D // n_head), jnp.float32),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(cache_lens.astype(jnp.int32), x, pos_emb, att_cache, cnn_cache,
+      params["lnw"], params["ffw1"], params["ffb1"], params["ffw2"],
+      params["vecb"], params["attw"], params["posb"], wpos,
+      params["pw1w"], params["pw1b"], params["pw2w"], params["dww"])
+    if pad_b:
+        return y[:B], nac[:B], ncc[:B]
+    return y, nac, ncc

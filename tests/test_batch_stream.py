@@ -133,3 +133,46 @@ def test_feed_many_batches_aligned_streams(setup):
             if out.get(slot) is not None:
                 results[k] = out[slot]["text"]
     assert results == singles
+
+
+def test_batch_session_fused_chunk_matches_vmapped(setup):
+    """The fused batched chunk step (ops/pallas/chunk_layer.py, routed
+    when chunk_fused_ok) must reproduce the vmapped engine's transcripts
+    for interleaved streams with different start offsets."""
+    import masr_tpu.ops.pallas.conformer_layer as cl
+    from masr_tpu.infer.batch_stream import BatchStreamSession
+    predictor = setup
+    kw = dict(preprocess_conf=predictor.predictor.meta["preprocess_conf"],
+              max_streams=4)
+    base = BatchStreamSession(predictor.predictor,
+                              predictor._text_featurizer.vocab_list, **kw)
+    assert not base._use_fused_chunk      # CPU backend without the force
+    cl.FORCE_ON_CPU = True
+    try:
+        fused = BatchStreamSession(
+            predictor.predictor, predictor._text_featurizer.vocab_list,
+            **kw)
+        assert fused._use_fused_chunk
+        waves = [_wave(s + 20) for s in range(3)]
+        texts = {"base": [None] * 3, "fused": [None] * 3}
+        for name, sess in (("base", base), ("fused", fused)):
+            slots = [sess.open() for _ in range(3)]
+            step = 4000
+            n_pieces = max(len(w) for w in waves) // step + 1
+            for i in range(n_pieces + len(slots)):  # + stagger tail
+                for k, slot in enumerate(slots):
+                    if name == "fused" and i < k:
+                        continue          # stagger starts in the fused run
+                    off = i - (k if name == "fused" else 0)
+                    piece = waves[k][off * step:(off + 1) * step]
+                    if len(piece) == 0:
+                        continue
+                    is_end = (off + 1) * step >= len(waves[k])
+                    out = sess.feed(slot, piece, is_end=is_end)
+                    if out is not None:
+                        texts[name][k] = out["text"]
+            for slot in slots:
+                sess.close(slot)
+    finally:
+        cl.FORCE_ON_CPU = False
+    assert texts["fused"] == texts["base"], texts
