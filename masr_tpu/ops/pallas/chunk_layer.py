@@ -250,7 +250,7 @@ def fused_chunk_layer(x, pos_emb, att_cache, cnn_cache, cache_lens, params,
             ],
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("parallel",)),
         interpret=interpret,
     )(cache_lens.astype(jnp.int32), x, pos_emb, att_cache, cnn_cache,
       params["lnw"], params["ffw1"], params["ffb1"], params["ffw2"],

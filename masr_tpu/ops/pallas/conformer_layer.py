@@ -233,7 +233,7 @@ def fused_conformer_layer(x, lens, pos_p, params, *, n_head, ksize, causal,
             out_specs=pl.BlockSpec((bs, Tp, D), lambda b, *_: (b, 0, 0)),
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("parallel",)),
         interpret=interpret,
     )(lens.astype(jnp.int32), x, params["lnw"], params["ffw1"],
       params["ffb1"], params["ffw2"], params["vecb"], params["attw"],
