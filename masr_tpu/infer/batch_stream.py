@@ -68,11 +68,16 @@ class BatchStreamSession(object):
             except Exception:
                 use_fused = False
         self._use_fused_chunk = use_fused
+        # weights packed ONCE for the fused kernel (repacking in-trace
+        # would cost ~60 MB of stacking traffic on every tick)
+        self._packed_chunk = jax.device_put(model.apply(
+            variables, method=type(model).pack_chunk_params)) \
+            if use_fused else None
 
-        def encoder_step(variables, xs, states, active):
+        def encoder_step(variables, xs, states, active, packed):
             if use_fused:
                 probs, new_states = model.apply(
-                    variables, xs[:, 0], states,
+                    variables, xs[:, 0], states, packed,
                     method=type(model).get_encoder_out_chunk_batched)
             else:
                 probs4, new_states = vstep(variables, xs, states)
@@ -98,8 +103,10 @@ class BatchStreamSession(object):
             self._dec_fresh = jax.device_put(init_fn(max_streams))
             self._dec_state = self._dec_fresh
 
-            def step_beam(variables, xs, states, dec_state, active, fv):
-                probs, merged = encoder_step(variables, xs, states, active)
+            def step_beam(variables, xs, states, dec_state, active, fv,
+                          packed):
+                probs, merged = encoder_step(variables, xs, states, active,
+                                             packed)
                 dec_state, best = decode_fn(dec_state, probs,
                                             fv[:, : probs.shape[1]])
                 return best, merged, dec_state
@@ -114,8 +121,9 @@ class BatchStreamSession(object):
 
             self._reset_dec = jax.jit(reset_dec)
         else:
-            def step_greedy(variables, xs, states, active):
-                probs, merged = encoder_step(variables, xs, states, active)
+            def step_greedy(variables, xs, states, active, packed):
+                probs, merged = encoder_step(variables, xs, states, active,
+                                             packed)
                 ids = jnp.argmax(probs, axis=-1).astype(jnp.int32)
                 maxp = jnp.max(probs, axis=-1).astype(jnp.float32)
                 return ids, maxp, merged  # (N, CH) each
@@ -171,7 +179,8 @@ class BatchStreamSession(object):
                 fv[slot, :n] = True
             best, self.states, self._dec_state = self._step_beam(
                 self.ip.variables, jnp.asarray(xs), self.states,
-                self._dec_state, jnp.asarray(active), jnp.asarray(fv))
+                self._dec_state, jnp.asarray(active), jnp.asarray(fv),
+                self._packed_chunk)
             tokens, lengths, scores = (np.asarray(x) for x in best)
             for slot, n in emitted.items():
                 if n:
@@ -180,7 +189,7 @@ class BatchStreamSession(object):
             return out
         ids, maxp, self.states = self._step_greedy(
             self.ip.variables, jnp.asarray(xs), self.states,
-            jnp.asarray(active))
+            jnp.asarray(active), self._packed_chunk)
         ids, maxp = np.asarray(ids), np.asarray(maxp)
         for slot, end in valids.items():
             n = min(max(_subsampled_len(end), 0), ids.shape[1])

@@ -47,7 +47,6 @@ class ConformerEncoderLayer(nn.Module):
     activation_type: str = "swish"
     rel_pos: bool = True
     use_flash_attention: bool = False
-    use_fused_layer: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def make_attention(self):
@@ -220,8 +219,7 @@ class ConformerEncoder(nn.Module):
             cnn_module_norm=self.cnn_module_norm, causal=self.causal,
             activation_type=self.activation_type,
             rel_pos=self.pos_enc_layer_type == "rel_pos",
-            use_flash_attention=self.use_flash_attention,
-            use_fused_layer=self.use_fused_layer, dtype=self.dtype,
+            use_flash_attention=self.use_flash_attention, dtype=self.dtype,
             name=f"layer_{i}") for i in range(self.num_blocks)]
         self.after_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                                        name="after_norm")
@@ -284,7 +282,12 @@ class ConformerEncoder(nn.Module):
                 and self.pos_enc_layer_type == "rel_pos"
                 and self.normalize_before and self.macaron_style
                 and self.use_cnn_module
-                and self.cnn_module_norm == "layer_norm"):
+                and self.cnn_module_norm == "layer_norm"
+                # static-chunk models keep their block mask even at
+                # decode -1 (masks.py:87) — the fused path is
+                # full-context only
+                and (self.use_dynamic_chunk
+                     or self.static_chunk_size <= 0)):
             return False
         from masr_tpu.ops.pallas import conformer_layer as cl
         if not (jax.default_backend() == "tpu" or cl.FORCE_ON_CPU):
@@ -375,7 +378,7 @@ class ConformerEncoder(nn.Module):
                                      self.attention_heads, self.dtype)
 
     def forward_chunk_batched(self, xs, offsets, att_cache, cnn_cache,
-                              cache_lens):
+                              cache_lens, packed=None):
         """Batched streaming chunk step with PER-SLOT offsets/validity —
         the fused-kernel analogue of vmapping forward_chunk (one
         pallas_call per layer; see ops/pallas/chunk_layer.py).
@@ -385,7 +388,6 @@ class ConformerEncoder(nn.Module):
         → (ys (N, chunk, D), new_att_cache, new_cnn_cache)."""
         from masr_tpu.models.embedding import sinusoid_position_encoding
         from masr_tpu.ops.pallas.chunk_layer import fused_chunk_layer
-        from masr_tpu.ops.pallas.conformer_layer import pack_layer_params
         if self.cmvn is not None:
             xs = self.cmvn(xs)
         xs = xs.astype(self.dtype)
@@ -398,20 +400,33 @@ class ConformerEncoder(nn.Module):
         pos_emb = sinusoid_position_encoding(
             positions.reshape(-1), self.output_size,
             self.dtype).reshape(N, L, self.output_size)
+        if packed is None:
+            packed = self.pack_chunk_params()
         new_att, new_cnn = [], []
         for i, layer in enumerate(self.encoders):
-            packed = pack_layer_params(
-                layer.variables["params"], self.dtype)
-            wpos = packed.pop("linear_pos")
+            p, wpos = packed[i]
             xs, a, cn = fused_chunk_layer(
                 xs, pos_emb, att_cache[i], cnn_cache[i], cache_lens,
-                packed, wpos, n_head=self.attention_heads,
+                p, wpos, n_head=self.attention_heads,
                 ksize=self.cnn_module_kernel, ff_scale=layer.ff_scale)
             new_att.append(a)
             new_cnn.append(cn)
         if self.normalize_before:
             xs = self.after_norm(xs)
         return xs, jnp.stack(new_att, 0), jnp.stack(new_cnn, 0)
+
+    def pack_chunk_params(self):
+        """Per-layer packed weight pytree for the fused chunk kernel —
+        computed ONCE at session init and passed through each tick
+        (repacking in-trace costs ~60 MB of stacking HBM traffic per
+        call at production size)."""
+        from masr_tpu.ops.pallas.conformer_layer import pack_layer_params
+        out = []
+        for layer in self.encoders:
+            p = pack_layer_params(layer.variables["params"], self.dtype)
+            wpos = p.pop("linear_pos")
+            out.append((p, wpos))
+        return out
 
     def init_cache(self, batch=1, cache_size=None, chunk_size=16,
                    num_left_chunks=16):
@@ -554,7 +569,12 @@ class ConformerModel(nn.Module):
         return (type(self.encoder) is ConformerEncoder
                 and self.encoder.fused_chunk_eligible(chunk, cache_size))
 
-    def get_encoder_out_chunk_batched(self, speech, state):
+    def pack_chunk_params(self):
+        """→ per-layer packed weights for the fused chunk step (compute
+        once at session init, pass to get_encoder_out_chunk_batched)."""
+        return self.encoder.pack_chunk_params()
+
+    def get_encoder_out_chunk_batched(self, speech, state, packed=None):
         """Batched streaming chunk step over N slots with per-slot
         offsets/cache validity (the batch engine's stacked-state layout:
         every leaf leads with N; caches carry the per-slot batch=1 axis).
@@ -567,7 +587,8 @@ class ConformerModel(nn.Module):
         att_l = att[:, :, 0].transpose(1, 0, 2, 3, 4)
         cnn_l = cnn[:, :, 0].transpose(1, 0, 2, 3)
         ys, na, nc = self.encoder.forward_chunk_batched(
-            speech, state["offset"], att_l, cnn_l, state["cache_len"])
+            speech, state["offset"], att_l, cnn_l, state["cache_len"],
+            packed=packed)
         chunk = ys.shape[1]
         new_state = {
             "att_cache": na.transpose(1, 0, 2, 3, 4)[:, :, None],

@@ -39,7 +39,7 @@ FORCE_ON_CPU = False
 def _kernel(lens_ref, x_ref, lnw_ref, ffw1_ref, ffb1_ref, ffw2_ref,
             vecb_ref, attw_ref, posb_ref, posp_ref, pw1w_ref, pw1b_ref,
             pw2w_ref, dww_ref, o_ref, *,
-            n_head, d_k, ksize, causal, ff_scale, eps):
+            n_head, d_k, ksize, causal, ff_scale, eps, t_real):
     g = pl.program_id(0)
     bs, T, D = x_ref.shape                       # bs utterances per program
     M = bs * T
@@ -122,6 +122,11 @@ def _kernel(lens_ref, x_ref, lnw_ref, ffw1_ref, ffb1_ref, ffw2_ref,
     xm = jnp.where(row_ok, layer_norm(x, 2), 0.0)
     gx = matmul(xm, pw1w_ref[:]) + pw1b_ref[0:1, :]
     u_glu = gx[:, :D] * jax.nn.sigmoid(gx[:, D:])  # GLU
+    if t_real < T:
+        # the wrapper's tile-alignment rows [t_real, T) do not exist in
+        # the XLA path: behave like nn.Conv's zero padding there, NOT
+        # like in-array masked rows (which carry GLU(pw1 bias))
+        u_glu = jnp.where(within < t_real, u_glu, 0.0)
     # CAUSAL pads x BEFORE pointwise_conv1 (flax convolution.py), so those
     # rows carry GLU(pw1 bias); non-causal pads zeros inside the depthwise
     if causal:
@@ -210,7 +215,7 @@ def fused_conformer_layer(x, lens, pos_p, params, *, n_head, ksize, causal,
     out = pl.pallas_call(
         functools.partial(_kernel, n_head=n_head, d_k=D // n_head,
                           ksize=ksize, causal=causal, ff_scale=ff_scale,
-                          eps=eps),
+                          eps=eps, t_real=T),
         out_shape=jax.ShapeDtypeStruct((B + pad_b, Tp, D), x.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,

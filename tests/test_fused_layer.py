@@ -110,3 +110,52 @@ def test_fused_bf16_smoke():
                         num_decoding_left_chunks=-1)
     assert out.dtype == jnp.bfloat16
     assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_fused_matches_xla_unaligned_T(causal):
+    """T2=35 (pad_t=13): the tile-alignment rows must behave like
+    nn.Conv zero padding, not in-array masked rows (review finding:
+    6.9e-3..4.5e-2 divergence before the t_real guard)."""
+    cmvn = GlobalCMVN(np.zeros(80), np.ones(80))
+    rs = np.random.RandomState(9)
+    enc0 = ConformerEncoder(causal=causal, cmvn=cmvn, use_fused_layer=False,
+                            **KW)
+    enc1 = ConformerEncoder(causal=causal, cmvn=cmvn, use_fused_layer=True,
+                            **KW)
+    speech = jnp.asarray(rs.standard_normal((2, 143, 80)), jnp.float32)
+    lens = jnp.asarray([143, 101])
+    v = enc0.init({"params": jax.random.PRNGKey(1)}, speech, lens)
+    leaves, td = jax.tree.flatten(v)
+    v = jax.tree.unflatten(td, [
+        l + jnp.asarray(rs.standard_normal(l.shape) * 0.05, l.dtype)
+        for l in leaves])
+    out0, m0 = enc0.apply(v, speech, lens, decoding_chunk_size=-1,
+                          num_decoding_left_chunks=-1)
+    out1, _ = enc1.apply(v, speech, lens, decoding_chunk_size=-1,
+                         num_decoding_left_chunks=-1)
+    valid = np.asarray(m0[:, 0, :])
+    np.testing.assert_allclose(np.asarray(out0)[valid],
+                               np.asarray(out1)[valid],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_falls_back_for_static_chunk_models():
+    """static_chunk_size > 0 keeps its block mask even at decode -1
+    (masks.py:87) — the fused full-context path must NOT engage
+    (review finding: 0.104 divergence before the guard)."""
+    cmvn = GlobalCMVN(np.zeros(80), np.ones(80))
+    kw = dict(KW, use_dynamic_chunk=False, static_chunk_size=8)
+    enc0 = ConformerEncoder(causal=True, cmvn=cmvn, use_fused_layer=False,
+                            **kw)
+    enc1 = ConformerEncoder(causal=True, cmvn=cmvn, use_fused_layer=True,
+                            **kw)
+    rs = np.random.RandomState(2)
+    speech = jnp.asarray(rs.standard_normal((2, 131, 80)), jnp.float32)
+    lens = jnp.asarray([131, 90])
+    v = enc0.init({"params": jax.random.PRNGKey(0)}, speech, lens)
+    out0, _ = enc0.apply(v, speech, lens, decoding_chunk_size=-1,
+                         num_decoding_left_chunks=-1)
+    out1, _ = enc1.apply(v, speech, lens, decoding_chunk_size=-1,
+                         num_decoding_left_chunks=-1)
+    np.testing.assert_array_equal(np.asarray(out0), np.asarray(out1))
