@@ -292,9 +292,10 @@ class MASRPredictor(object):
         for g in range(0, len(order), group):
             idx = order[g: g + group]
             batch = [segs[i] for i in idx]
-            # pad the final partial group to the fixed group size so one
-            # compiled (B, T-bucket) program serves every call
-            while 1 < len(batch) < group:
+            # pad the final partial group (singletons included) to the fixed
+            # group size so one compiled (B, T-bucket) program serves every
+            # call — a lone final segment must not trigger a fresh B=1 compile
+            while 0 < len(batch) < group:
                 batch.append(batch[0])
             decoded = self.predict_batch(batch, use_pun=use_pun,
                                          is_itn=is_itn, sample_rate=sr)

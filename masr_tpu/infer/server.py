@@ -240,6 +240,8 @@ class ASRServer(object):
                 try:
                     data = self._read_audio()
                     if not data:
+                        server.stats.observe(
+                            self.path, time.perf_counter() - t0, ok=False)
                         self._send_json(400, {"code": 400,
                                               "msg": "no audio provided"})
                         return
@@ -253,6 +255,9 @@ class ASRServer(object):
                                 data, use_pun=server.use_pun,
                                 is_itn=server.is_itn)
                         else:
+                            server.stats.observe(
+                                self.path, time.perf_counter() - t0,
+                                ok=False)
                             self._send_json(404, {"code": 404,
                                                   "msg": "not found"})
                             return

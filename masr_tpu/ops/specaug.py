@@ -70,12 +70,14 @@ def specsub_jax(feats, lens, rng, *, max_t=20, num_t_sub=3):
     src = idx
     for _ in range(num_t_sub):
         rng, r1, r2, r3 = jax.random.split(rng, 4)
-        t = jax.random.randint(r1, (B,), 0, max(max_t, 1))
-        start = (jax.random.uniform(r2, (B,))
-                 * jnp.maximum(lens - t, 1)).astype(jnp.int32)
-        pos = (jax.random.uniform(r3, (B,))
-               * jnp.maximum(start, 1)).astype(jnp.int32)
-        in_span = (idx >= start[:, None]) & (idx < (start + t)[:, None])
+        # Reference draws (spec_sub.py:36-39): start ∈ [0, max_frames-1],
+        # length ∈ [1, max_t], end clamped to max_frames, pos ∈ [0, start].
+        # Per-utterance max_frames is lens[b] here (frames past lens are pad).
+        t = jax.random.randint(r1, (B,), 1, max(max_t, 1) + 1)
+        start = jax.random.randint(r2, (B,), 0, jnp.maximum(lens, 1))
+        pos = jax.random.randint(r3, (B,), 0, start + 1)
+        in_span = ((idx >= start[:, None]) & (idx < (start + t)[:, None])
+                   & (idx < lens[:, None]))
         src = jnp.where(in_span, idx - pos[:, None], src)
     return jnp.take_along_axis(feats, src[:, :, None], axis=1)
 

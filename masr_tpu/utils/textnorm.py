@@ -10,6 +10,12 @@ this is a native implementation of the subset the pipeline needs:
 - decimals: integer part + 点 + digit-wise fraction (3.14→三点一四)
 - digit-wise reading for strings with leading zeros or >16 digits
   (phone numbers, IDs): 007→零零七
+- negatives (−/- prefix → 负), percentages (50%→百分之五十), and
+  fractions (3/4→四分之三), matching cn2an.transform's readings
+
+Not covered (lines keep their digits converted but structure intact,
+and generate_corpus's leftover-ASCII filter then drops them): dates
+with 年/月/日 inference, ℃ and other unit suffixes.
 
 The inverse direction (Chinese → Arabic, for ASR *output*) lives in
 masr_tpu/infer/itn.py.
@@ -87,11 +93,26 @@ def num_to_cn(num_str):
     return text
 
 
-_NUM_RE = re.compile(r"\d+\.\d+|\d+")
+_NUM_RE = re.compile(
+    r"(?P<neg>[-−])?(?P<num>\d+(?:\.\d+)?)"
+    r"(?:(?P<pct>%)|/(?P<den>\d+(?:\.\d+)?))?")
+
+
+def _token_to_cn(m):
+    num = num_to_cn(m.group("num"))
+    if m.group("pct"):
+        out = "百分之" + num
+    elif m.group("den"):
+        # a/b reads denominator-first: 3/4 → 四分之三
+        out = num_to_cn(m.group("den")) + "分之" + num
+    else:
+        out = num
+    return ("负" + out) if m.group("neg") else out
 
 
 def an2cn(text):
     """Replace every Arabic number in running text with its Chinese
     reading (the cn2an.transform(text, 'an2cn') subset the corpus
-    pipeline needs)."""
-    return _NUM_RE.sub(lambda m: num_to_cn(m.group(0)), text)
+    pipeline needs): plain/decimal numbers, negatives, percents,
+    fractions."""
+    return _NUM_RE.sub(_token_to_cn, text)

@@ -44,6 +44,14 @@ def test_an2cn_in_running_text():
     assert an2cn("无数字") == "无数字"
 
 
+def test_an2cn_negative_percent_fraction():
+    assert an2cn("-3度") == "负三度"
+    assert an2cn("温度−3.5度") == "温度负三点五度"
+    assert an2cn("占50%") == "占百分之五十"
+    assert an2cn("用了3/4的时间") == "用了四分之三的时间"
+    assert an2cn("-12.5%") == "负百分之十二点五"
+
+
 def test_clean_line_filters_and_normalizes():
     gc = _load_tool("generate_corpus")
     # markup stripped, numbers converted, half-width punct unified

@@ -77,6 +77,27 @@ def test_specsub_sources_are_earlier_original_frames():
         np.testing.assert_array_equal(src[b, L:], np.arange(L, T))
 
 
+def test_specsub_reference_draw_distributions():
+    """Reference (spec_sub.py:36-39) draws length ∈ [1, max_t] — never 0 —
+    and pos ∈ [0, start] inclusive. With max_t=1 every substitution has
+    width exactly 1, so across a few keys at least one frame must change
+    (a [0, max_t-1] draw would make max_t=1 a no-op forever)."""
+    from masr_tpu.ops.specaug import specsub_jax
+    B, T, F = 2, 30, 4
+    feats = jnp.asarray(np.arange(B * T).reshape(B, T, 1)
+                        * np.ones((1, F)), jnp.float32)
+    lens = jnp.asarray([30, 30], jnp.int32)
+    changed = False
+    for k in range(8):
+        out = np.asarray(specsub_jax(feats, lens, jax.random.PRNGKey(k),
+                                     max_t=1, num_t_sub=4))
+        diff = out[:, :, 0] != np.asarray(feats)[:, :, 0]
+        # each substitution span is exactly one frame wide: changed frames
+        # never form runs longer than num_t_sub isolated picks would allow
+        changed = changed or diff.any()
+    assert changed
+
+
 def test_specsub_deterministic_per_rng():
     from masr_tpu.ops.specaug import specsub_jax
     rs = np.random.RandomState(1)
