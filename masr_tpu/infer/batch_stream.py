@@ -64,7 +64,7 @@ class BatchStreamSession(object):
             try:
                 use_fused = bool(model.apply(
                     variables, DECODING_CHUNK_SIZE, self.ip.cache_size,
-                    method=type(model).chunk_fused_ok))
+                    max_streams, method=type(model).chunk_fused_ok))
             except Exception:
                 use_fused = False
         self._use_fused_chunk = use_fused

@@ -250,13 +250,12 @@ class ConformerEncoder(nn.Module):
             T2, masks, self.use_dynamic_chunk, self.use_dynamic_left_chunk,
             decoding_chunk_size, self.static_chunk_size,
             num_decoding_left_chunks, rng=rng)
-        if self._fused_eligible(decoding_chunk_size, train, T2):
+        B = xs.shape[0]
+        if self._fused_eligible(decoding_chunk_size, train, T2, B):
             lens2 = masks[:, 0, :].sum(axis=1).astype(jnp.int32)
-            for layer in self.encoders:
-                xs = layer.fused_full_context(xs, lens2, pos_emb)
-        elif self._fused_train_eligible(train, T2):
+            xs = self._fused_serve_stack(xs, lens2, pos_emb)
+        elif self._fused_train_eligible(train, T2, B):
             lens2 = masks[:, 0, :].sum(axis=1).astype(jnp.int32)
-            B = xs.shape[0]
             amask = jnp.broadcast_to(chunk_masks, (B, T2, T2))
             if self.dropout_rate > 0 or self.attention_dropout_rate > 0:
                 seeds = jax.random.randint(
@@ -264,8 +263,7 @@ class ConformerEncoder(nn.Module):
                     jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
             else:
                 seeds = jnp.zeros((len(self.encoders), B), jnp.int32)
-            for i, layer in enumerate(self.encoders):
-                xs = layer.fused_train(xs, amask, seeds[i], lens2, pos_emb)
+            xs = self._fused_train_stack(xs, amask, seeds, lens2, pos_emb)
         else:
             for layer in self.encoders:
                 xs, _, _ = layer(xs, chunk_masks, pos_emb, mask_pad,
@@ -274,7 +272,28 @@ class ConformerEncoder(nn.Module):
             xs = self.after_norm(xs)
         return xs, masks
 
-    def _fused_eligible(self, decoding_chunk_size, train, T):
+    def _fused_mesh(self, B):
+        """Multi-device routing for the fused Pallas paths. GSPMD cannot
+        auto-partition a pallas_call, so multi-device runs shard_map the
+        whole fused stack over the ACTIVE mesh (parallel/mesh.py
+        set_active_mesh — registered by the trainer / serving engines).
+
+        Returns (ok, mesh): mesh is None single-device (plain call) or a
+        Mesh whose every axis shards the batch dim; ok=False ⇒ caller
+        must keep the XLA path (no registered mesh, or B not divisible)."""
+        from masr_tpu.parallel.mesh import get_active_mesh
+        mesh = get_active_mesh()
+        if mesh is not None and mesh.size > 1:
+            if B % mesh.size:
+                return False, None
+            return True, mesh
+        # no registered mesh: direct call is safe only when the program
+        # cannot be GSPMD-partitioned across chips
+        if jax.default_backend() == "tpu" and jax.device_count() > 1:
+            return False, None
+        return True, None
+
+    def _fused_eligible(self, decoding_chunk_size, train, T, B):
         """Whole-layer fused kernel: serving-only, full context, standard
         macaron/conv/rel-pos layer shape, and within the VMEM budget."""
         if not (self.use_fused_layer and not train
@@ -292,13 +311,12 @@ class ConformerEncoder(nn.Module):
         from masr_tpu.ops.pallas import conformer_layer as cl
         if not (jax.default_backend() == "tpu" or cl.FORCE_ON_CPU):
             return False       # interpret mode on CPU would crawl
-        if jax.default_backend() == "tpu" and jax.device_count() > 1:
-            return False       # GSPMD can't auto-partition a pallas_call;
-            # multi-chip keeps the XLA path (shard_map integration TBD)
+        if not self._fused_mesh(B)[0]:
+            return False
         return cl.fused_layer_supported(T, self.output_size,
                                         self.linear_units, self.dtype)
 
-    def _fused_train_eligible(self, train, T):
+    def _fused_train_eligible(self, train, T, B):
         if not (self.use_fused_layer_train and train
                 and not self.is_initializing()
                 and self.pos_enc_layer_type == "rel_pos"
@@ -309,12 +327,90 @@ class ConformerEncoder(nn.Module):
         from masr_tpu.ops.pallas import conformer_layer as cl
         if not (jax.default_backend() == "tpu" or cl.FORCE_ON_CPU):
             return False
-        if jax.default_backend() == "tpu" and jax.device_count() > 1:
-            return False       # see _fused_eligible: no GSPMD partitioning
+        if not self._fused_mesh(B)[0]:
+            return False
         from masr_tpu.ops.pallas.conformer_layer_train import (
             fused_train_supported)
         return fused_train_supported(T, self.output_size,
                                      self.linear_units, self.dtype)
+
+    def _fused_serve_stack(self, xs, lens2, pos_emb):
+        """Run every encoder layer through the fused serving kernel.
+        Single-device: direct calls. Multi-device: ONE shard_map around
+        the whole stack — batch sharded over every mesh axis (a dp×tp
+        mesh serves as pure data parallelism here; serving weights are
+        replicated), layer weights broadcast, one boundary reshard total
+        instead of per-layer."""
+        from jax.sharding import PartitionSpec as P
+        from masr_tpu.ops.pallas.conformer_layer import (
+            fused_conformer_layer, pack_layer_params)
+        packed_all, posp_all = [], []
+        for layer in self.encoders:
+            packed = pack_layer_params(layer.variables["params"], self.dtype)
+            posp_all.append(jnp.einsum(
+                "td,de->te", pos_emb[0].astype(self.dtype),
+                packed.pop("linear_pos"),
+                preferred_element_type=jnp.float32).astype(self.dtype))
+            packed_all.append(packed)
+        l0 = self.encoders[0]
+
+        def stack_fn(x, lens, posps, packs):
+            for pos_p, packed in zip(posps, packs):
+                x = fused_conformer_layer(
+                    x, lens, pos_p, packed, n_head=self.attention_heads,
+                    ksize=self.cnn_module_kernel, causal=self.causal,
+                    ff_scale=l0.ff_scale)
+            return x
+
+        ok, mesh = self._fused_mesh(xs.shape[0])
+        if mesh is None:
+            return stack_fn(xs, lens2, posp_all, packed_all)
+        ax = tuple(mesh.axis_names)
+        return jax.shard_map(
+            stack_fn, mesh=mesh,
+            in_specs=(P(ax), P(ax), P(), P()),
+            out_specs=P(ax), check_vma=False,
+        )(xs, lens2, posp_all, packed_all)
+
+    def _fused_train_stack(self, xs, amask, seeds, lens2, pos_emb):
+        """Fused TRAIN stack (custom-VJP Pallas layers). Multi-device:
+        shard_map over the active mesh with the batch split across every
+        axis — the replicated-weight in_specs make shard_map's transpose
+        psum the weight cotangents, reproducing GSPMD's dp gradient sum
+        (TP-sharded params are gathered at the boundary, FSDP-style)."""
+        from jax.sharding import PartitionSpec as P
+        from masr_tpu.ops.pallas.conformer_layer import pack_layer_params
+        from masr_tpu.ops.pallas.conformer_layer_train import (
+            fused_conformer_layer_train)
+        packed_all = []
+        for layer in self.encoders:
+            packed = pack_layer_params(layer.variables["params"], self.dtype)
+            packed["posp"] = jnp.einsum(
+                "td,de->te", pos_emb[0].astype(self.dtype),
+                packed.pop("linear_pos"),
+                preferred_element_type=jnp.float32).astype(self.dtype)[None]
+            packed_all.append(packed)
+        interpret = jax.default_backend() != "tpu"
+        l0 = self.encoders[0]
+
+        def stack_fn(x, am, sd, lens, packs):
+            for i, packed in enumerate(packs):
+                x = fused_conformer_layer_train(
+                    x, am, sd[i], lens, packed, self.attention_heads,
+                    self.cnn_module_kernel, self.causal, l0.ff_scale, 1e-5,
+                    float(self.dropout_rate),
+                    float(self.attention_dropout_rate), True, interpret)
+            return x
+
+        ok, mesh = self._fused_mesh(xs.shape[0])
+        if mesh is None:
+            return stack_fn(xs, amask, seeds, lens2, packed_all)
+        ax = tuple(mesh.axis_names)
+        return jax.shard_map(
+            stack_fn, mesh=mesh,
+            in_specs=(P(ax), P(ax), P(None, ax), P(ax), P()),
+            out_specs=P(ax), check_vma=False,
+        )(xs, amask, seeds, lens2, packed_all)
 
     def forward_chunk(self, xs, offset, att_cache, cnn_cache, cache_len):
         """One streaming chunk (parity: encoder.py:348-420, fixed shapes).
@@ -360,8 +456,10 @@ class ConformerEncoder(nn.Module):
         return sinusoid_position_encoding(positions, self.output_size,
                                           self.dtype)[None]
 
-    def fused_chunk_eligible(self, chunk, cache_size):
-        """Whether forward_chunk_batched can take the fused kernel path."""
+    def fused_chunk_eligible(self, chunk, cache_size, batch=None):
+        """Whether forward_chunk_batched can take the fused kernel path.
+        `batch` (slot count) gates the multi-device shard_map route —
+        None skips the divisibility check (single-device callers)."""
         from masr_tpu.ops.pallas import conformer_layer as cl
         from masr_tpu.ops.pallas.chunk_layer import chunk_layer_supported
         if not ((jax.default_backend() == "tpu" or cl.FORCE_ON_CPU)
@@ -371,7 +469,8 @@ class ConformerEncoder(nn.Module):
                 and self.cnn_module_norm == "layer_norm"
                 and cache_size >= chunk):
             return False
-        if jax.default_backend() == "tpu" and jax.device_count() > 1:
+        if not self._fused_mesh(batch if batch is not None
+                                else jax.device_count())[0]:
             return False
         return chunk_layer_supported(chunk, cache_size, self.output_size,
                                      self.linear_units,
@@ -402,18 +501,39 @@ class ConformerEncoder(nn.Module):
             self.dtype).reshape(N, L, self.output_size)
         if packed is None:
             packed = self.pack_chunk_params()
-        new_att, new_cnn = [], []
-        for i, layer in enumerate(self.encoders):
-            p, wpos = packed[i]
-            xs, a, cn = fused_chunk_layer(
-                xs, pos_emb, att_cache[i], cnn_cache[i], cache_lens,
-                p, wpos, n_head=self.attention_heads,
-                ksize=self.cnn_module_kernel, ff_scale=layer.ff_scale)
-            new_att.append(a)
-            new_cnn.append(cn)
+        l0 = self.encoders[0]
+
+        def stack_fn(x, pe, att_c, cnn_c, clens, packs):
+            new_att, new_cnn = [], []
+            for i in range(len(self.encoders)):
+                p, wpos = packs[i]
+                x, a, cn = fused_chunk_layer(
+                    x, pe, att_c[i], cnn_c[i], clens,
+                    p, wpos, n_head=self.attention_heads,
+                    ksize=self.cnn_module_kernel, ff_scale=l0.ff_scale)
+                new_att.append(a)
+                new_cnn.append(cn)
+            return x, jnp.stack(new_att, 0), jnp.stack(new_cnn, 0)
+
+        ok, mesh = self._fused_mesh(N)
+        if mesh is None:
+            xs, att_cache, cnn_cache = stack_fn(
+                xs, pos_emb, att_cache, cnn_cache, cache_lens, packed)
+        else:
+            from jax.sharding import PartitionSpec as P
+            ax = tuple(mesh.axis_names)
+            # slots shard over every mesh axis; weights broadcast; caches
+            # shard on their slot dim (axis 1, after the layer dim)
+            xs, att_cache, cnn_cache = jax.shard_map(
+                stack_fn, mesh=mesh,
+                in_specs=(P(ax), P(ax), P(None, ax), P(None, ax), P(ax),
+                          P()),
+                out_specs=(P(ax), P(None, ax), P(None, ax)),
+                check_vma=False,
+            )(xs, pos_emb, att_cache, cnn_cache, cache_lens, packed)
         if self.normalize_before:
             xs = self.after_norm(xs)
-        return xs, jnp.stack(new_att, 0), jnp.stack(new_cnn, 0)
+        return xs, att_cache, cnn_cache
 
     def pack_chunk_params(self):
         """Per-layer packed weight pytree for the fused chunk kernel —
@@ -563,11 +683,12 @@ class ConformerModel(nn.Module):
         }
         return self.ctc.softmax(ys), new_state
 
-    def chunk_fused_ok(self, chunk, cache_size):
+    def chunk_fused_ok(self, chunk, cache_size, batch=None):
         """Static check (run via apply, eagerly): can the batched chunk
         step take the fused-kernel path for this model/config?"""
         return (type(self.encoder) is ConformerEncoder
-                and self.encoder.fused_chunk_eligible(chunk, cache_size))
+                and self.encoder.fused_chunk_eligible(chunk, cache_size,
+                                                      batch))
 
     def pack_chunk_params(self):
         """→ per-layer packed weights for the fused chunk step (compute

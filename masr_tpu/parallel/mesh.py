@@ -60,3 +60,40 @@ def shard_batch(batch, mesh, axis_name="data"):
 
 def replicate(tree, mesh):
     return jax.device_put(tree, NamedSharding(mesh, P()))
+
+
+# --------------------------------------------------------------------- #
+# Active-mesh registry: Pallas kernels can't be auto-partitioned by
+# GSPMD, so the fused paths route through shard_map instead — but the
+# flax modules that decide fused-vs-XLA don't receive the mesh as an
+# argument. The trainer / serving engines register their mesh here; the
+# encoder reads it to build the shard_map wrapper (conformer.py
+# _fused_eligible). None ⇒ multi-device runs keep the plain XLA path.
+_ACTIVE_MESH = None
+
+
+def set_active_mesh(mesh):
+    """Register `mesh` as the mesh fused Pallas paths shard_map over
+    (pass None to clear). Returns the previous value."""
+    global _ACTIVE_MESH
+    prev = _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+    return prev
+
+
+def get_active_mesh():
+    return _ACTIVE_MESH
+
+
+class active_mesh:
+    """Context manager: `with active_mesh(mesh): ...`"""
+
+    def __init__(self, mesh):
+        self.mesh = mesh
+
+    def __enter__(self):
+        self.prev = set_active_mesh(self.mesh)
+        return self.mesh
+
+    def __exit__(self, *exc):
+        set_active_mesh(self.prev)

@@ -78,6 +78,9 @@ class MASRTrainer(object):
             self.mesh = make_mesh_2d(self.tensor_parallel)
         else:
             self.mesh = make_mesh()
+        # fused Pallas paths shard_map over this mesh on multi-chip
+        from masr_tpu.parallel.mesh import set_active_mesh
+        set_active_mesh(self.mesh)
         self.rank = jax.process_index()
         self.num_hosts = jax.process_count()
 

@@ -1,0 +1,170 @@
+"""Multi-device routing of the fused Pallas kernels (VERDICT r2 item 1):
+with a registered active mesh the fused serving / train / chunk paths run
+through ONE shard_map around the whole layer stack (batch sharded over
+every mesh axis, weights broadcast) instead of falling back to XLA.
+Validated on the 8-virtual-device CPU mesh in interpret mode; parity is
+against the plain XLA path and the single-device fused route."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from masr_tpu.models.cmvn import GlobalCMVN
+from masr_tpu.models.conformer import ConformerEncoder
+from masr_tpu.parallel.mesh import active_mesh, make_mesh
+from masr_tpu.parallel.tp import make_mesh_2d
+
+import masr_tpu.ops.pallas.conformer_layer as cl
+
+KW = dict(input_size=80, output_size=64, attention_heads=2,
+          linear_units=96, num_blocks=2, cnn_module_kernel=7,
+          dropout_rate=0.0, attention_dropout_rate=0.0,
+          positional_dropout_rate=0.0)
+
+
+@pytest.fixture(autouse=True)
+def _route_fused_on_cpu():
+    cl.FORCE_ON_CPU = True
+    yield
+    cl.FORCE_ON_CPU = False
+
+
+def _build(causal=True, fused=True, **extra):
+    cmvn = GlobalCMVN(np.zeros(80), np.ones(80))
+    enc = ConformerEncoder(causal=causal, cmvn=cmvn, use_fused_layer=fused,
+                           use_fused_layer_train=fused, **KW, **extra)
+    rs = np.random.RandomState(3)
+    B = 8
+    speech = jnp.asarray(rs.standard_normal((B, 131, 80)), jnp.float32)
+    lens = jnp.asarray([131, 100, 52, 131, 88, 131, 120, 64])
+    enc0 = ConformerEncoder(causal=causal, cmvn=cmvn, use_fused_layer=False,
+                            use_fused_layer_train=False, **KW, **extra)
+    v = enc0.init({"params": jax.random.PRNGKey(0)}, speech, lens)
+    leaves, treedef = jax.tree.flatten(v)
+    v = jax.tree.unflatten(treedef, [
+        l + jnp.asarray(rs.standard_normal(l.shape) * 0.05, l.dtype)
+        for l in leaves])
+    return enc, enc0, v, speech, lens
+
+
+def _meshes():
+    return [make_mesh(), make_mesh_2d(2)]        # dp=8 and dp=4×tp=2
+
+
+@pytest.mark.parametrize("mesh_idx", [0, 1], ids=["dp8", "dp4tp2"])
+def test_fused_serving_under_mesh_matches_xla(mesh_idx):
+    mesh = _meshes()[mesh_idx]
+    enc, enc0, v, speech, lens = _build(causal=True)
+    out0, m0 = enc0.apply(v, speech, lens, decoding_chunk_size=-1,
+                          num_decoding_left_chunks=-1)
+    with active_mesh(mesh):
+        # inputs sharded over the data axis as the trainer would place them
+        sharded = jax.device_put(speech, NamedSharding(mesh, P("data")))
+        out1, m1 = jax.jit(lambda s, l: enc.apply(
+            v, s, l, decoding_chunk_size=-1,
+            num_decoding_left_chunks=-1))(sharded, lens)
+    valid = np.asarray(m0[:, 0, :])
+    np.testing.assert_allclose(np.asarray(out0)[valid],
+                               np.asarray(out1)[valid],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_serving_mesh_matches_single_device_route():
+    """The shard_map route must produce the identical kernel output as
+    the direct single-device fused route (same kernel, split batch)."""
+    mesh = make_mesh()
+    enc, enc0, v, speech, lens = _build(causal=False)
+    ref = enc.apply(v, speech, lens, decoding_chunk_size=-1,
+                    num_decoding_left_chunks=-1)[0]
+    with active_mesh(mesh):
+        out = enc.apply(v, speech, lens, decoding_chunk_size=-1,
+                        num_decoding_left_chunks=-1)[0]
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_indivisible_batch_falls_back_to_xla():
+    """B=3 on an 8-device mesh: eligibility fails, XLA path serves the
+    call (bit-identical to the use_fused_layer=False encoder)."""
+    mesh = make_mesh()
+    enc, enc0, v, speech, lens = _build(causal=True)
+    speech3, lens3 = speech[:3], lens[:3]
+    ref = enc0.apply(v, speech3, lens3, decoding_chunk_size=-1,
+                     num_decoding_left_chunks=-1)[0]
+    with active_mesh(mesh):
+        out = enc.apply(v, speech3, lens3, decoding_chunk_size=-1,
+                        num_decoding_left_chunks=-1)[0]
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+@pytest.mark.parametrize("mesh_idx", [0, 1], ids=["dp8", "dp4tp2"])
+def test_fused_train_under_mesh_grads_match_xla(mesh_idx):
+    """Forward AND parameter gradients of the fused train stack under
+    shard_map must match the XLA path (dropout 0): the replicated-weight
+    in_specs make shard_map's transpose psum the per-shard weight
+    cotangents — this is the dp gradient sum GSPMD produces."""
+    mesh = _meshes()[mesh_idx]
+    enc, enc0, v, speech, lens = _build(causal=True)
+    rngs = {"dropout": jax.random.PRNGKey(1), "chunk": jax.random.PRNGKey(2)}
+
+    def loss_fn(encoder):
+        def f(vars_):
+            out, m = encoder.apply(vars_, speech, lens,
+                                   decoding_chunk_size=0,
+                                   num_decoding_left_chunks=-1, train=True,
+                                   rngs=rngs)
+            w = m[:, 0, :, None].astype(out.dtype)
+            return jnp.sum((out * w) ** 2)
+        return f
+
+    l0, g0 = jax.value_and_grad(loss_fn(enc0))(v)
+    with active_mesh(mesh):
+        l1, g1 = jax.value_and_grad(loss_fn(enc))(v)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=2e-4)
+    flat0 = jax.tree_util.tree_flatten_with_path(g0)[0]
+    flat1 = {jax.tree_util.keystr(p): l
+             for p, l in jax.tree_util.tree_flatten_with_path(g1)[0]}
+    for path, leaf in flat0:
+        key = jax.tree_util.keystr(path)
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat1[key]),
+            rtol=5e-3, atol=5e-4, err_msg=key)
+
+
+def test_fused_chunk_batched_under_mesh():
+    """forward_chunk_batched with 8 slots sharded over the mesh matches
+    the single-device fused route (outputs + rolled caches)."""
+    mesh = make_mesh()
+    enc, enc0, v, speech, lens = _build(causal=True)
+    N, chunk_in = 8, 16 * 4 + 7
+    rs = np.random.RandomState(7)
+    xs = jnp.asarray(rs.standard_normal((N, chunk_in, 80)), jnp.float32)
+    offsets = jnp.asarray([0, 16, 32, 0, 48, 16, 0, 64], jnp.int32)
+    C = 64
+    d_k = KW["output_size"] // KW["attention_heads"]
+    att = jnp.asarray(rs.standard_normal(
+        (KW["num_blocks"], N, KW["attention_heads"], C, 2 * d_k)) * 0.1,
+        jnp.float32)
+    cnn = jnp.asarray(rs.standard_normal(
+        (KW["num_blocks"], N, KW["cnn_module_kernel"] - 1,
+         KW["output_size"])) * 0.1, jnp.float32)
+    cache_lens = jnp.minimum(offsets, C)
+
+    def run(m):
+        def body(mod):
+            return mod.forward_chunk_batched(xs, offsets, att, cnn,
+                                             cache_lens)
+        if m is None:
+            return enc.apply(v, method=body)
+        with active_mesh(m):
+            return enc.apply(v, method=body)
+
+    ys0, a0, c0 = run(None)
+    ys1, a1, c1 = run(mesh)
+    np.testing.assert_allclose(np.asarray(ys0), np.asarray(ys1),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a0), np.asarray(a1),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c0), np.asarray(c1),
+                               rtol=1e-5, atol=1e-5)
