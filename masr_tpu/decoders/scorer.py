@@ -169,25 +169,33 @@ def is_kenlm_binary(path):
 
 
 class KenlmScorer(object):
-    """Shallow-fusion scorer over a KenLM BINARY model (.klm) via the
-    `kenlm` pip package — the migration path for reference users' binary
-    LMs (their `paddlespeech_ctcdecoders` bundled KenLM; here the same
-    engine comes from `pip install kenlm`, swig_wrapper.py:9-34 parity).
+    """Shallow-fusion scorer over a KenLM BINARY model (.klm) — the
+    migration path for reference users' binary LMs (their
+    `paddlespeech_ctcdecoders` bundled KenLM, swig_wrapper.py:9-34).
 
     Probing-format binaries store only n-gram hashes, so .klm → ARPA
-    conversion is information-theoretically impossible; scoring through
-    KenLM itself is the only faithful way to keep using them. Same
-    interface as `Scorer` (is_character_based, words_of, score_word),
-    so it drops into the Python beam engine unchanged.
+    conversion is information-theoretically impossible; scoring the
+    binary directly is the only faithful way to keep using them. Backend
+    order: the `kenlm` pip package when importable (covers every binary
+    format), otherwise the in-repo probing-format reader
+    (decoders/klm_probing.py — PROBING files, i.e. KenLM's default
+    build_binary output and what the reference ships). Same interface as
+    `Scorer` (is_character_based, words_of, score_word), so it drops
+    into the Python beam engine unchanged.
     """
 
     def __init__(self, alpha, beta, language_model_path, vocabulary=None,
                  character_based=None):
-        import kenlm  # gated: pip install kenlm
-        self._kenlm = kenlm
+        try:
+            import kenlm  # preferred: pip install kenlm
+            self._kenlm = kenlm
+            self.model = kenlm.Model(language_model_path)
+        except ImportError:
+            from masr_tpu.decoders import klm_probing
+            self._kenlm = klm_probing
+            self.model = klm_probing.ProbingModel(language_model_path)
         self.alpha = alpha
         self.beta = beta
-        self.model = kenlm.Model(language_model_path)
         self.is_character_based = self._detect_character_based() \
             if character_based is None else bool(character_based)
 
