@@ -2,9 +2,11 @@
 
 The reference decodes with KenLM binaries (.klm, auto-downloaded 2.8 GB zh
 model, masr/decoders/beam_search_decoder.py:19-29). This framework's
-native C++ decoder reads ARPA text; KenLM binaries work at runtime through
-the `kenlm` pip package (masr_tpu/decoders/scorer.py KenlmScorer). This
-tool covers the offline part of the migration:
+native C++ decoder reads ARPA text; PROBING-format KenLM binaries also
+score directly at runtime through the in-repo reader
+(masr_tpu/decoders/klm_probing.py; the `kenlm` pip package is preferred
+automatically when installed — masr_tpu/decoders/scorer.py KenlmScorer).
+This tool covers the offline part of the migration:
 
   --inspect model.klm     Identify a KenLM binary (magic header) and print
                           the migration options. Probing-format binaries
@@ -50,9 +52,10 @@ def inspect(path):
           f"{size / 1e9:.2f} GB")
     print("""
 Migration options (in order of preference):
- 1. Runtime use, no conversion: `pip install kenlm` and keep
-    `language_model_path` pointing at this .klm — the Python beam engine
-    scores through KenLM directly (masr_tpu KenlmScorer).
+ 1. Runtime use, no conversion: keep `language_model_path` pointing at
+    this .klm — PROBING-format binaries (KenLM's default) score through
+    the in-repo reader (masr_tpu/decoders/klm_probing.py), or through
+    the `kenlm` package if installed (covers TRIE format too).
  2. Use the ARPA mirror: the standard MASR/PaddleSpeech LMs are published
     in both forms (e.g. zh_giga.no_cna_cmn.prune01244.arpa.gz); filter it
     to your vocabulary with this tool, then the native C++ decoder reads
@@ -131,6 +134,9 @@ def main():
     ap.add_argument("--vocab", help="vocabulary.txt (token[\\tcount] lines)")
     ap.add_argument("--output", help="output ARPA path")
     ap.add_argument("--validate", help="ARPA file to parse-check")
+    ap.add_argument("--to-probing", dest="to_probing",
+                    help="input ARPA(.gz) to export as a PROBING-format "
+                         ".klm (scored by the in-repo reader or kenlm)")
     args = ap.parse_args()
     if args.inspect:
         return inspect(args.inspect)
@@ -138,6 +144,14 @@ def main():
         if not (args.vocab and args.output):
             ap.error("--filter requires --vocab and --output")
         return filter_arpa(args.filter, args.vocab, args.output)
+    if args.to_probing:
+        if not args.output:
+            ap.error("--to-probing requires --output")
+        from masr_tpu.decoders.klm_probing import write_probing
+        vocab = write_probing(args.to_probing, args.output)
+        print(f"wrote probing binary {args.output}: {len(vocab)} words, "
+              f"{os.path.getsize(args.output) / 1e6:.1f} MB")
+        return 0
     if args.validate:
         return validate(args.validate)
     ap.print_help()
