@@ -362,6 +362,44 @@ def main():
             f"{secs * 1e3:.1f} ms, {audio_s / secs:.0f}x realtime, "
             f"MFU {full[key]['mfu']}")
 
+    # per-family full-context serving (VERDICT r2 item 6: visible numbers
+    # for every model family, not just the flagship) — reference-default
+    # configs from configs/*.yml, B=8×12 s bf16
+    families = {}
+    try:
+        import yaml
+        from masr_tpu.models.registry import build_model
+        from masr_tpu.models.cmvn import GlobalCMVN
+        import jax.numpy as jnp2
+        for fam in ("squeezeformer", "efficient_conformer", "deepspeech2"):
+            with open(f"configs/{fam}.yml", encoding="utf-8") as f:
+                cfg = yaml.safe_load(f)
+            m = build_model(
+                fam, FEAT, VOCAB_SIZE, streaming=True,
+                encoder_conf=cfg.get("encoder_conf") or {},
+                decoder_conf=cfg.get("decoder_conf") or {},
+                model_conf=dict(ctc_weight=1.0) if fam == "deepspeech2"
+                else dict(ctc_weight=0.3),
+                cmvn=GlobalCMVN(np.zeros(FEAT), np.ones(FEAT)),
+                dtype=jnp2.bfloat16)
+            vfam = jax.jit(m.init, static_argnames=("train",))(
+                {"params": jax.random.PRNGKey(0),
+                 "dropout": jax.random.PRNGKey(0),
+                 "chunk": jax.random.PRNGKey(0)},
+                jnp2.zeros((1, WINDOW, FEAT)), jnp2.asarray([WINDOW]),
+                jnp2.ones((1, 4), jnp2.int32), jnp2.asarray([4]),
+                train=False)
+            secs, flops = bench_full_context(m, vfam, batch=8, T=T_full,
+                                             K=32)
+            audio_s = 8 * T_full * 0.01
+            families[fam] = dict(ms=secs * 1e3, rtf=audio_s / secs,
+                                 mfu=mfu(flops, secs, peak))
+            log(f"full-context encode B=8×12 s (bf16, {fam}): "
+                f"{secs * 1e3:.1f} ms, {audio_s / secs:.0f}x realtime, "
+                f"MFU {families[fam]['mfu']}")
+    except Exception as e:
+        log(f"family bench unavailable: {e}")
+
     # on-device batched beam search (LM-free prefix beam, decoders/
     # device_beam.py) — decode 128 utterances of CTC probs on chip
     from masr_tpu.decoders.device_beam import ctc_beam_search_jax

@@ -46,7 +46,7 @@ class ConformerEncoderLayer(nn.Module):
     causal: bool = False
     activation_type: str = "swish"
     rel_pos: bool = True
-    use_flash_attention: bool = False
+    use_flash_attention: Any = "auto"
     dtype: jnp.dtype = jnp.float32
 
     def make_attention(self):
@@ -190,7 +190,7 @@ class ConformerEncoder(nn.Module):
     cnn_module_kernel: int = 15
     causal: bool = False
     cnn_module_norm: str = "layer_norm"
-    use_flash_attention: bool = False
+    use_flash_attention: Any = "auto"
     # whole-layer fused Pallas kernel for full-context serving (default on;
     # only engages on a TPU backend and when _fused_eligible holds —
     # disable via encoder_conf.use_fused_layer: false)
@@ -281,17 +281,8 @@ class ConformerEncoder(nn.Module):
         Returns (ok, mesh): mesh is None single-device (plain call) or a
         Mesh whose every axis shards the batch dim; ok=False ⇒ caller
         must keep the XLA path (no registered mesh, or B not divisible)."""
-        from masr_tpu.parallel.mesh import get_active_mesh
-        mesh = get_active_mesh()
-        if mesh is not None and mesh.size > 1:
-            if B % mesh.size:
-                return False, None
-            return True, mesh
-        # no registered mesh: direct call is safe only when the program
-        # cannot be GSPMD-partitioned across chips
-        if jax.default_backend() == "tpu" and jax.device_count() > 1:
-            return False, None
-        return True, None
+        from masr_tpu.parallel.mesh import fused_route_mesh
+        return fused_route_mesh(B)
 
     def _fused_eligible(self, decoding_chunk_size, train, T, B):
         """Whole-layer fused kernel: serving-only, full context, standard

@@ -11,6 +11,7 @@ right-aligned shapes so one compiled chunk step serves the stream.
 """
 from typing import Any, List, Tuple
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -228,6 +229,10 @@ class SqueezeformerEncoder(nn.Module):
     use_dynamic_chunk: bool = False
     static_chunk_size: int = 0
     use_dynamic_left_chunk: bool = False
+    # whole-layer fused Pallas serving kernel
+    # (ops/pallas/squeezeformer_layer.py) — same gating pattern as the
+    # Conformer fused path; reduce/recover plumbing stays on XLA
+    use_fused_layer: bool = True
     cmvn: Any = None
     dtype: jnp.dtype = jnp.float32
 
@@ -300,31 +305,97 @@ class SqueezeformerEncoder(nn.Module):
             decoding_chunk_size, self.static_chunk_size,
             num_decoding_left_chunks, rng=rng)
         xs = self.preln(xs)
+        fused = self._fused_eligible(decoding_chunk_size, train, T2,
+                                     xs.shape[0])
+        cur_lens = mask_pad[:, 0, :].sum(axis=1).astype(jnp.int32)
         recover_acts: List[Tuple] = []
         index = 0
         for i, layer in enumerate(self.encoders):
             if i in self.reduce_idx_list:
-                recover_acts.append((xs, chunk_masks, pos_emb, mask_pad))
+                recover_acts.append((xs, chunk_masks, pos_emb, mask_pad,
+                                     cur_lens))
                 xs = self.time_reduction_layer(xs, mask_pad)
                 chunk_masks = chunk_masks[:, ::2, ::2]
                 mask_pad = mask_pad[:, :, ::2]
                 pos_emb = pos_emb[:, ::2, :]
+                cur_lens = -(-cur_lens // 2)            # ceil: kept cols
                 index += 1
             if i in self.recover_idx_list:
                 index -= 1
-                r_xs, r_chunk_masks, r_pos_emb, r_mask_pad = recover_acts[index]
+                (r_xs, r_chunk_masks, r_pos_emb, r_mask_pad,
+                 r_lens) = recover_acts[index]
                 xs = jnp.repeat(xs, 2, axis=1)
                 xs = self.time_recover_layer(xs)
                 recovered_t = r_xs.shape[1]
                 xs = r_xs + xs[:, :recovered_t, :]
-                chunk_masks, pos_emb, mask_pad = (r_chunk_masks, r_pos_emb,
-                                                  r_mask_pad)
-            xs, _, _ = layer(xs, chunk_masks, pos_emb, mask_pad, train=train)
+                chunk_masks, pos_emb, mask_pad, cur_lens = (
+                    r_chunk_masks, r_pos_emb, r_mask_pad, r_lens)
+            if fused:
+                xs = self._fused_layer(layer, xs, cur_lens, pos_emb)
+            else:
+                xs, _, _ = layer(xs, chunk_masks, pos_emb, mask_pad,
+                                 train=train)
         if self.output_size != self.encoder_dim:
             xs = self.final_proj(xs)
         return xs, masks
 
     # ------------------------------------------------------------------ #
+    def _fused_eligible(self, decoding_chunk_size, train, T, B):
+        """Whole-layer fused serving kernel (post-norm default config;
+        see ops/pallas/squeezeformer_layer.py). Serving-only, full
+        context, within the VMEM budget."""
+        if not (self.use_fused_layer and not train
+                and decoding_chunk_size == -1 and not self.is_initializing()
+                and self.pos_enc_layer_type == "rel_pos"
+                and not self.normalize_before
+                and (self.use_dynamic_chunk
+                     or self.static_chunk_size <= 0)):
+            return False
+        from masr_tpu.ops.pallas import conformer_layer as cl
+        if not (jax.default_backend() == "tpu" or cl.FORCE_ON_CPU):
+            return False
+        from masr_tpu.parallel.mesh import fused_route_mesh
+        if not fused_route_mesh(B)[0]:
+            return False
+        from masr_tpu.ops.pallas.squeezeformer_layer import sq_layer_supported
+        return sq_layer_supported(
+            T, self.encoder_dim,
+            self.encoder_dim * self.feed_forward_expansion_factor,
+            self.dtype)
+
+    def _fused_layer(self, layer, xs, cur_lens, pos_emb):
+        """One fused layer call; multi-device wraps it in shard_map over
+        the active mesh (batch over every axis, weights broadcast —
+        reduce/recover in between stays on plain GSPMD)."""
+        from jax.sharding import PartitionSpec as P
+        from masr_tpu.parallel.mesh import fused_route_mesh
+        from masr_tpu.ops.pallas.squeezeformer_layer import (
+            fused_squeezeformer_layer, pack_sq_layer_params)
+        conv_ln = self.cnn_norm_type == "layer_norm"
+        packed = pack_sq_layer_params(
+            layer.variables["params"],
+            layer.variables.get("batch_stats"), self.dtype,
+            adaptive_scale=self.adaptive_scale, conv_ln=conv_ln)
+        pos_p = jnp.einsum(
+            "td,de->te", pos_emb[0].astype(self.dtype),
+            packed.pop("linear_pos"),
+            preferred_element_type=jnp.float32).astype(self.dtype)
+
+        def call(x, lens, pp, pk):
+            return fused_squeezeformer_layer(
+                x, lens, pp, pk, n_head=self.attention_heads,
+                ksize=self.cnn_module_kernel, causal=self.causal,
+                conv_ln=conv_ln)
+
+        ok, mesh = fused_route_mesh(xs.shape[0])
+        if mesh is None:
+            return call(xs, cur_lens, pos_p, packed)
+        ax = tuple(mesh.axis_names)
+        return jax.shard_map(
+            call, mesh=mesh, in_specs=(P(ax), P(ax), P(), P()),
+            out_specs=P(ax), check_vma=False,
+        )(xs, cur_lens, pos_p, packed)
+
     def _pos(self, start, size, stride=1):
         positions = jnp.maximum(start + stride * jnp.arange(size), 0)
         return sinusoid_position_encoding(positions, self.encoder_dim,

@@ -85,6 +85,21 @@ def get_active_mesh():
     return _ACTIVE_MESH
 
 
+def fused_route_mesh(batch):
+    """Routing decision for a fused Pallas path whose leading dim is
+    `batch`: → (ok, mesh). mesh=None ⇒ direct single-device call;
+    ok=False ⇒ caller must keep the XLA path (multi-chip without a
+    registered mesh, or batch not divisible by the mesh size)."""
+    mesh = _ACTIVE_MESH
+    if mesh is not None and mesh.size > 1:
+        if batch % mesh.size:
+            return False, None
+        return True, mesh
+    if jax.default_backend() == "tpu" and jax.device_count() > 1:
+        return False, None
+    return True, None
+
+
 class active_mesh:
     """Context manager: `with active_mesh(mesh): ...`"""
 
