@@ -83,44 +83,106 @@ class ServerStats(object):
                                   "sessions_total": self.streams_total,
                                   "chunks_total": self.stream_chunks}}
 
+# Browser client — feature parity with the reference's recording UI
+# (reference templates/index.html:1-150 + static/record.js:1-207): short
+# and long file upload with an XHR progress bar, and a one-button
+# microphone toggle that streams 16 kHz int16 PCM over the WebSocket and
+# renders partial transcripts live. Served inline (no static/ dir); the
+# record button flips color instead of swapping a gif.
 INDEX_HTML = """<!doctype html>
-<html><head><meta charset="utf-8"><title>masr_tpu demo</title></head>
+<html lang="zh"><head><meta charset="utf-8">
+<meta name="viewport" content="width=device-width, initial-scale=1">
+<title>masr_tpu 语音识别</title>
+<style>
+ body{font-family:sans-serif;max-width:720px;margin:24px auto;padding:0 12px}
+ #header h1{text-align:center;font-weight:500}
+ .file{display:inline-block;padding:9px 18px;background:#2f7bd9;color:#fff;
+       border-radius:4px;cursor:pointer;margin-right:10px;user-select:none}
+ .file:hover{background:#2565b6}
+ #record_btn{display:inline-block;width:46px;height:46px;border-radius:50%;
+       background:#d9534f;vertical-align:middle;cursor:pointer;border:none}
+ #record_btn.recording{background:#7a1f1c;animation:pulse 1s infinite}
+ @keyframes pulse{50%{opacity:.5}}
+ #result_p{width:100%;height:160px;margin-top:16px;font-size:15px}
+ progress{width:70%}
+</style></head>
 <body>
-<h2>masr_tpu speech recognition</h2>
-<p>POST an audio file to <code>/recognition</code> /
-<code>/recognition_long_audio</code>, or stream your microphone over the
-WebSocket port (16 kHz int16 PCM frames; finish with "end").</p>
-<h3>File</h3>
-<input type="file" id="f"/><button onclick="up()">recognize</button>
-<h3>Microphone (streaming)</h3>
-<button id="rec" onclick="toggleRec()">start recording</button>
-<pre id="out"></pre>
+<div id="header"><h1>masr_tpu 语音识别</h1></div>
+<div id="content">
+  <div>
+    <a id="upload" onclick="uploadAudioFile()" class="file">短音频文件识别</a>
+    <a id="upload_long" onclick="uploadLongAudioFile()" class="file">长音频文件识别</a>
+    <button id="record_btn" onclick="record()" title="录音"></button>
+  </div>
+  <div id="result"><textarea id="result_p" readonly></textarea></div>
+  上传进度：<progress id="progress1" value="0" max="100"></progress>&nbsp;
+  <span id="progress_text"></span>
+</div>
 <script>
 const WS_PORT = location.port ? (parseInt(location.port) + 1) : 5001;
-async function up() {
-  const f = document.getElementById('f').files[0];
-  const fd = new FormData(); fd.append('audio', f);
-  const r = await fetch('/recognition', {method: 'POST', body: fd});
-  document.getElementById('out').textContent = await r.text();
+const textarea = document.getElementById('result_p');
+const progress1 = document.getElementById('progress1');
+const progress_text = document.getElementById('progress_text');
+
+// ---- file upload with progress (reference index.html:60-150) ----
+function upload_file(url, file, callback) {
+  const fd = new FormData();
+  fd.append('audio', file);
+  const xhr = new XMLHttpRequest();
+  xhr.timeout = 120000;
+  xhr.upload.addEventListener('progress', e => callback('uploading', e));
+  xhr.addEventListener('load', e => callback('ok', e));
+  xhr.addEventListener('error', e => callback('error', e));
+  xhr.addEventListener('abort', e => callback('cancel', e));
+  xhr.open('POST', url);
+  xhr.send(fd);
 }
-let ctx = null, ws = null, node = null, stream = null;
-async function toggleRec() {
-  const btn = document.getElementById('rec');
-  if (ctx) {  // stop: flush end marker
-    node.disconnect(); stream.getTracks().forEach(t => t.stop());
-    ws.send(new Uint8Array([101, 110, 100]));  // "end"
-    await ctx.close(); ctx = null;
-    btn.textContent = 'start recording';
-    return;
-  }
+function pickAndUpload(url, accept) {
+  const input = document.createElement('input');
+  input.type = 'file';
+  input.accept = accept;
+  input.click();
+  input.onchange = () => {
+    const file = input.files[0];
+    upload_file(url, file, (state, e) => {
+      switch (state) {
+        case 'uploading': {
+          const pct = Math.round(e.loaded * 100 / e.total);
+          progress1.value = pct;
+          progress_text.innerText = pct + '%';
+          break;
+        }
+        case 'ok': {
+          try {
+            const r = JSON.parse(e.target.responseText);
+            textarea.value = r.code === 0
+              ? r.result + '\\n(得分 ' + r.score + ')' : e.target.responseText;
+          } catch (_) { textarea.value = e.target.responseText; }
+          break;
+        }
+        case 'error': alert('上传失败'); break;
+        case 'cancel': alert('上传被取消'); break;
+      }
+    });
+  };
+}
+function uploadAudioFile() { pickAndUpload('/recognition', 'audio/*'); }
+function uploadLongAudioFile() {
+  pickAndUpload('/recognition_long_audio', 'audio/*');
+}
+
+// ---- microphone streaming (reference record.js, AudioContext-native:
+// the browser resamples to 16 kHz instead of record.js's decimation) ----
+let ctx = null, ws = null, node = null, stream = null, is_recording = false;
+function record() { is_recording ? stopRecording() : startRecording(); }
+async function startRecording() {
   stream = await navigator.mediaDevices.getUserMedia({audio: {
     sampleRate: 16000, channelCount: 1}});
   ctx = new AudioContext({sampleRate: 16000});
   ws = new WebSocket(`ws://${location.hostname}:${WS_PORT}/`);
   ws.onmessage = (e) => {
     const msg = JSON.parse(e.data);
-    document.getElementById('out').textContent =
-      (msg.is_end ? '[final] ' : '') + msg.result;
+    textarea.value = (msg.is_end ? '[final] ' : '') + msg.result;
   };
   const src = ctx.createMediaStreamSource(stream);
   node = ctx.createScriptProcessor(4096, 1, 1);
@@ -133,7 +195,17 @@ async function toggleRec() {
     ws.send(i16.buffer);
   };
   src.connect(node); node.connect(ctx.destination);
-  btn.textContent = 'stop';
+  is_recording = true;
+  document.getElementById('record_btn').classList.add('recording');
+}
+async function stopRecording() {
+  node.disconnect();
+  stream.getTracks().forEach(t => t.stop());
+  ws.send(new Uint8Array([101, 110, 100]));  // "end"
+  await ctx.close();
+  ctx = null;
+  is_recording = false;
+  document.getElementById('record_btn').classList.remove('recording');
 }
 </script></body></html>"""
 
