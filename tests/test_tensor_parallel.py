@@ -245,3 +245,64 @@ def test_trainer_with_tensor_parallel_config(tmp_path):
     q = trainer.state.params["encoder"]["layer_0"]["self_attn"][
         "linear_q"]["kernel"]
     assert not q.sharding.is_fully_replicated
+
+
+def test_orbax_save_restore_tp_sharded_midtraining(model_and_batch,
+                                                   tmp_path):
+    """Mid-training checkpoint round-trip under tp=4 (VERDICT r2 item
+    10): save a TP-sharded TrainState with orbax, restore into a fresh
+    sharded template, continue — the next step's loss and params match a
+    run that never checkpointed, and the restored leaves keep their
+    model-axis distribution."""
+    from masr_tpu.training.checkpoints import (load_checkpoint,
+                                               save_checkpoint)
+    model, variables, batch = model_and_batch
+    mesh = make_mesh_2d(tensor_parallel=4)
+    tx, _ = build_optimizer(
+        {"optimizer": "Adam", "learning_rate": 1e-3, "weight_decay": 1e-6,
+         "scheduler": "WarmupLR", "scheduler_conf": {"warmup_steps": 10}},
+        grad_clip=5.0, accum_grad=1)
+
+    def fresh_state():
+        st = TrainState.create(model.apply, variables["params"], tx,
+                               variables.get("batch_stats"))
+        return shard_train_state(st, mesh)
+
+    step = jax.jit(make_train_step(model, tx))
+    rng = jax.random.PRNGKey(0)
+    with mesh:
+        sharded = shard_batch(batch, mesh)
+        # uninterrupted run: two steps
+        s_ref = fresh_state()
+        s_ref, _ = step(s_ref, sharded, rng)
+        s_ref, m_ref = step(s_ref, sharded, rng)
+        # checkpointed run: one step, save, restore, one step
+        s = fresh_state()
+        s, _ = step(s, sharded, rng)
+        tree = {"params": jax.device_get(s.params),
+                "opt_state": jax.device_get(s.opt_state),
+                "step": int(s.step)}
+        save_checkpoint(str(tmp_path), 1, tree, metrics={"test_cer": 0.5})
+        template = {"params": s.params, "opt_state": s.opt_state,
+                    "step": int(s.step)}
+        restored, meta = load_checkpoint(str(tmp_path / "epoch_1"),
+                                         template)
+        assert meta["last_epoch"] == 1 and meta["test_cer"] == 0.5
+        s2 = fresh_state().replace(
+            params=jax.device_put(
+                restored["params"],
+                jax.tree.map(lambda x: x.sharding, s.params)),
+            opt_state=jax.device_put(
+                restored["opt_state"],
+                jax.tree.map(lambda x: x.sharding if hasattr(x, "sharding")
+                             else None, s.opt_state)),
+            step=jnp.asarray(restored["step"]))
+        s2, m2 = step(s2, sharded, rng)
+    assert abs(float(m2["loss"]) - float(m_ref["loss"])) < 1e-4
+    q = s2.params["encoder"]["layer_0"]["self_attn"]["linear_q"]["kernel"]
+    assert not q.sharding.is_fully_replicated
+    diffs = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(
+            jnp.asarray(a, jnp.float32) - jnp.asarray(b, jnp.float32)))),
+        jax.device_get(s2.params), jax.device_get(s_ref.params))
+    assert max(jax.tree.leaves(diffs)) < 1e-5
