@@ -498,9 +498,15 @@ class ConformerEncoder(nn.Module):
             new_att, new_cnn = [], []
             for i in range(len(self.encoders)):
                 p, wpos = packs[i]
+                # linear_pos as ONE batched einsum per layer — projecting
+                # per slot inside the kernel was the dominant per-tick
+                # cost (12 layers × N small serialized matmuls)
+                posp = jnp.einsum(
+                    "nld,de->nle", pe.astype(wpos.dtype), wpos,
+                    preferred_element_type=jnp.float32).astype(pe.dtype)
                 x, a, cn = fused_chunk_layer(
-                    x, pe, att_c[i], cnn_c[i], clens,
-                    p, wpos, n_head=self.attention_heads,
+                    x, posp, att_c[i], cnn_c[i], clens,
+                    p, n_head=self.attention_heads,
                     ksize=self.cnn_module_kernel, ff_scale=l0.ff_scale)
                 new_att.append(a)
                 new_cnn.append(cn)

@@ -30,8 +30,8 @@ from jax.experimental.pallas import tpu as pltpu
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _kernel(clen_ref, x_ref, pe_ref, ac_ref, cc_ref, lnw_ref, ffw1_ref,
-            ffb1_ref, ffw2_ref, vecb_ref, attw_ref, posb_ref, wpos_ref,
+def _kernel(clen_ref, x_ref, pp_ref, ac_ref, cc_ref, lnw_ref, ffw1_ref,
+            ffb1_ref, ffw2_ref, vecb_ref, attw_ref, posb_ref,
             pw1w_ref, pw1b_ref, pw2w_ref, dww_ref,
             y_ref, nac_ref, ncc_ref, qs_ref, ks_ref, vs_ref, *,
             n_head, d_k, ksize, ff_scale, eps):
@@ -83,8 +83,11 @@ def _kernel(clen_ref, x_ref, pe_ref, ac_ref, cc_ref, lnw_ref, ffw1_ref,
     for s in range(bs):
         rows = slice(s * c, (s + 1) * c)
         valid = clen_ref[g * bs + s]
-        # per-slot positional projection: (L, D) @ (D, D)
-        ph_full = mm(pe_ref[s].astype(jnp.float32), wpos_ref[...])
+        # per-slot PRE-projected positions (linear_pos applied by the
+        # caller as ONE batched einsum per layer — doing the (L, D)@(D, D)
+        # matmul here per slot per layer was the dominant per-grid-step
+        # cost: 12 layers × B small serialized matmuls per tick)
+        ph_full = pp_ref[s].astype(jnp.float32)
         # build the head-stacked Q/K/V directly in scratch via STORES —
         # Mosaic rejects concats whose operands sit at different LANE
         # offsets (head h's column slice starts at lane h·d_k; the cache
@@ -185,16 +188,22 @@ def pick_chunk_block_b(c, C, D, F, n_head, dtype=jnp.bfloat16, max_bs=8):
 
 @functools.partial(jax.jit, static_argnames=(
     "n_head", "ksize", "ff_scale", "eps", "block_b", "interpret"))
-def fused_chunk_layer(x, pos_emb, att_cache, cnn_cache, cache_lens, params,
-                      wpos, *, n_head, ksize, ff_scale=0.5, eps=1e-5,
+def fused_chunk_layer(x, posp, att_cache, cnn_cache, cache_lens, params,
+                      wpos=None, *, n_head, ksize, ff_scale=0.5, eps=1e-5,
                       block_b=None, interpret=None):
-    """x: (B, c, D) chunk after subsampling; pos_emb: (B, C+c, D) per-slot
-    sinusoid positions (offset-dependent); att_cache: (B, h, C, 2·d_k)
-    right-aligned; cnn_cache: (B, lorder, D); cache_lens: (B,) int32;
-    params: pack_layer_params dict (without posp); wpos: (D, D)
-    linear_pos kernel. → (y (B, c, D), new_att_cache, new_cnn_cache)."""
+    """x: (B, c, D) chunk after subsampling; posp: (B, C+c, D) per-slot
+    PRE-projected positions — linear_pos(pos_emb), one batched einsum per
+    layer in the caller (forward_chunk_batched); att_cache: (B, h, C,
+    2·d_k) right-aligned; cnn_cache: (B, lorder, D); cache_lens: (B,)
+    int32; params: pack_layer_params dict (without posp). `wpos` applies
+    the projection here for callers that still pass raw pos_emb.
+    → (y (B, c, D), new_att_cache, new_cnn_cache)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if wpos is not None:
+        posp = jnp.einsum("nld,de->nle", posp.astype(wpos.dtype), wpos,
+                          preferred_element_type=jnp.float32
+                          ).astype(posp.dtype)
     B, c, D = x.shape
     C = att_cache.shape[2]
     F = params["ffw1"].shape[2]
@@ -203,7 +212,7 @@ def fused_chunk_layer(x, pos_emb, att_cache, cnn_cache, cache_lens, params,
     pad_b = (-B) % bs
     if pad_b:
         x = jnp.pad(x, ((0, pad_b), (0, 0), (0, 0)))
-        pos_emb = jnp.pad(pos_emb, ((0, pad_b), (0, 0), (0, 0)))
+        posp = jnp.pad(posp, ((0, pad_b), (0, 0), (0, 0)))
         att_cache = jnp.pad(att_cache, ((0, pad_b),) + ((0, 0),) * 3)
         cnn_cache = jnp.pad(cnn_cache, ((0, pad_b), (0, 0), (0, 0)))
         cache_lens = jnp.pad(cache_lens, (0, pad_b))
@@ -224,7 +233,7 @@ def fused_chunk_layer(x, pos_emb, att_cache, cnn_cache, cache_lens, params,
             grid=(Bp // bs,),
             in_specs=[
                 bspec((bs, c, D)),                    # x
-                bspec((bs, L, D)),                    # pos_emb
+                bspec((bs, L, D)),                    # posp
                 bspec((bs, n_head, C, 2 * (D // n_head))),   # att cache
                 bspec((bs, lorder, D)),               # cnn cache
                 const((6, 2, D)),                     # lnw
@@ -234,7 +243,6 @@ def fused_chunk_layer(x, pos_emb, att_cache, cnn_cache, cache_lens, params,
                 const((8, D)),                        # vecb
                 const((4, D, D)),                     # attw
                 const((2, D)),                        # posb
-                const((D, D)),                        # wpos
                 const((D, 2 * D)),                    # pw1w
                 const((1, 2 * D)),                    # pw1b
                 const((D, D)),                        # pw2w
@@ -252,9 +260,9 @@ def fused_chunk_layer(x, pos_emb, att_cache, cnn_cache, cache_lens, params,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         interpret=interpret,
-    )(cache_lens.astype(jnp.int32), x, pos_emb, att_cache, cnn_cache,
+    )(cache_lens.astype(jnp.int32), x, posp, att_cache, cnn_cache,
       params["lnw"], params["ffw1"], params["ffb1"], params["ffw2"],
-      params["vecb"], params["attw"], params["posb"], wpos,
+      params["vecb"], params["attw"], params["posb"],
       params["pw1w"], params["pw1b"], params["pw2w"], params["dww"])
     if pad_b:
         return y[:B], nac[:B], ncc[:B]
