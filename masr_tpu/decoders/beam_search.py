@@ -193,25 +193,26 @@ class BeamSearchDecoder(object):
             if os.path.exists(language_model_path):
                 from masr_tpu.decoders.scorer import is_kenlm_binary
                 if is_kenlm_binary(language_model_path):
-                    # KenLM BINARY (.klm): score through the kenlm pip
-                    # package (the reference users' migration path —
-                    # probing binaries cannot be converted to ARPA). The
-                    # Python engine carries the scorer; the C++ engine
-                    # reads ARPA only (tools/convert_lm.py --inspect).
+                    # KenLM BINARY (.klm): PROBING files score through
+                    # the in-repo reader (decoders/klm_probing.py) or the
+                    # kenlm package when installed — the reference users'
+                    # migration path (probing binaries cannot be
+                    # converted to ARPA). The Python engine carries the
+                    # scorer; the C++ engine reads ARPA only.
                     try:
                         from masr_tpu.decoders.scorer import KenlmScorer
                         self.scorer = KenlmScorer(alpha, beta,
                                                   language_model_path,
                                                   vocab_list)
                         self._native = None
-                        logger.info("KenLM binary LM loaded via the kenlm "
-                                    "package (Python beam engine)")
-                    except ImportError:
+                        logger.info("KenLM binary LM loaded (Python beam "
+                                    "engine)")
+                    except Exception as e:
                         logger.warning(
-                            f"{language_model_path} is a KenLM binary but "
-                            f"the `kenlm` package is not installed; run "
-                            f"`pip install kenlm`, or use the ARPA variant "
-                            f"(see tools/convert_lm.py --inspect). "
+                            f"cannot score KenLM binary "
+                            f"{language_model_path} ({e}); TRIE-format "
+                            f"files need `pip install kenlm` or the ARPA "
+                            f"variant (tools/convert_lm.py --inspect). "
                             f"Decoding without LM.")
                 elif self._native is not None:
                     self._native_scorer = self._native.NativeScorer(

@@ -156,7 +156,9 @@ def test_beam_decoder_accepts_klm_via_kenlm(fake_kenlm, klm_path, arpa_path):
 
 
 def test_beam_decoder_klm_without_kenlm_falls_back(klm_path, monkeypatch):
-    """No kenlm installed → warn and decode without LM (no crash)."""
+    """A corrupt/unreadable .klm (and no kenlm package) → warn and decode
+    without LM (no crash) — the fixture's fake binary has a valid magic
+    but no probing payload, so the in-repo reader rejects it too."""
     monkeypatch.setitem(sys.modules, "kenlm", None)  # force ImportError
     d = BeamSearchDecoder(VOCAB, beam_size=8, cutoff_top_n=5,
                           language_model_path=klm_path)
@@ -192,4 +194,5 @@ def test_convert_lm_inspect(tmp_path, klm_path):
     r = subprocess.run([sys.executable, tool, "--inspect", klm_path],
                        capture_output=True, text=True)
     assert r.returncode == 0
-    assert "KenLM binary" in r.stdout and "pip install kenlm" in r.stdout
+    assert "KenLM binary" in r.stdout
+    assert "klm_probing" in r.stdout or "in-repo reader" in r.stdout
