@@ -493,8 +493,21 @@ class ConformerEncoder(nn.Module):
         if packed is None:
             packed = self.pack_chunk_params()
         l0 = self.encoders[0]
+        use_tick = isinstance(packed, dict)
+        if use_tick:
+            from masr_tpu.ops.pallas.chunk_tick import fused_chunk_tick
 
         def stack_fn(x, pe, att_c, cnn_c, clens, packs):
+            if use_tick:
+                # whole-tick megakernel: ONE pallas_call for all layers
+                posp = jnp.einsum(
+                    "nld,kde->knle", pe.astype(packs["wpos"].dtype),
+                    packs["wpos"],
+                    preferred_element_type=jnp.float32).astype(pe.dtype)
+                return fused_chunk_tick(
+                    x, posp, att_c, cnn_c, clens, packs["stacked"],
+                    n_head=self.attention_heads,
+                    ksize=self.cnn_module_kernel, ff_scale=l0.ff_scale)
             new_att, new_cnn = [], []
             for i in range(len(self.encoders)):
                 p, wpos = packs[i]
@@ -532,18 +545,42 @@ class ConformerEncoder(nn.Module):
             xs = self.after_norm(xs)
         return xs, att_cache, cnn_cache
 
-    def pack_chunk_params(self):
-        """Per-layer packed weight pytree for the fused chunk kernel —
-        computed ONCE at session init and passed through each tick
-        (repacking in-trace costs ~60 MB of stacking HBM traffic per
-        call at production size)."""
+    def pack_chunk_params(self, tick=False):
+        """Packed weight pytree for the fused chunk kernels — computed
+        ONCE at session init and passed through each tick (repacking
+        in-trace costs ~60 MB of stacking HBM traffic per call at
+        production size). tick=True returns the stacked layout for the
+        whole-tick megakernel (ops/pallas/chunk_tick.py)."""
         from masr_tpu.ops.pallas.conformer_layer import pack_layer_params
         out = []
         for layer in self.encoders:
             p = pack_layer_params(layer.variables["params"], self.dtype)
             wpos = p.pop("linear_pos")
             out.append((p, wpos))
+        if tick:
+            from masr_tpu.ops.pallas.chunk_tick import stack_tick_params
+            stacked, wpos_stack = stack_tick_params(out)
+            return {"stacked": stacked, "wpos": wpos_stack}
         return out
+
+    def chunk_tick_eligible(self, chunk, cache_size, batch):
+        """Whether the batched chunk step can take the whole-tick
+        megakernel (implies fused_chunk_eligible). On real TPU the tick
+        kernel is OPT-IN for now (MASR_TPU_CHUNK_TICK=1): its Mosaic
+        compile through this box's remote-compile tunnel measured >10
+        minutes, unacceptable as a default until the compile cost and
+        the runtime win are both characterized (CPU interpret tests keep
+        exercising it for parity)."""
+        import os
+        from masr_tpu.ops.pallas.chunk_tick import tick_supported
+        if not self.fused_chunk_eligible(chunk, cache_size, batch):
+            return False
+        if jax.default_backend() == "tpu" and \
+                not os.environ.get("MASR_TPU_CHUNK_TICK"):
+            return False
+        return tick_supported(chunk, cache_size, self.output_size,
+                              self.linear_units, self.attention_heads,
+                              batch, self.dtype)
 
     def init_cache(self, batch=1, cache_size=None, chunk_size=16,
                    num_left_chunks=16):
@@ -687,10 +724,18 @@ class ConformerModel(nn.Module):
                 and self.encoder.fused_chunk_eligible(chunk, cache_size,
                                                       batch))
 
-    def pack_chunk_params(self):
-        """→ per-layer packed weights for the fused chunk step (compute
-        once at session init, pass to get_encoder_out_chunk_batched)."""
-        return self.encoder.pack_chunk_params()
+    def pack_chunk_params(self, tick=False):
+        """→ packed weights for the fused chunk step (compute once at
+        session init, pass to get_encoder_out_chunk_batched); tick=True
+        gives the whole-tick megakernel layout."""
+        return self.encoder.pack_chunk_params(tick)
+
+    def chunk_tick_ok(self, chunk, cache_size, batch):
+        """Static check: can the batched chunk step run as ONE whole-tick
+        megakernel (ops/pallas/chunk_tick.py)?"""
+        return (type(self.encoder) is ConformerEncoder
+                and self.encoder.chunk_tick_eligible(chunk, cache_size,
+                                                     batch))
 
     def get_encoder_out_chunk_batched(self, speech, state, packed=None):
         """Batched streaming chunk step over N slots with per-slot
