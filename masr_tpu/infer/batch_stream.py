@@ -68,10 +68,22 @@ class BatchStreamSession(object):
             except Exception:
                 use_fused = False
         self._use_fused_chunk = use_fused
+        # whole-tick megakernel when supported (one pallas_call for all
+        # layers instead of one per layer — the per-layer path is
+        # launch/DMA-floor-bound, ops/pallas/chunk_tick.py)
+        use_tick = False
+        if use_fused and hasattr(type(model), "chunk_tick_ok"):
+            try:
+                use_tick = bool(model.apply(
+                    variables, DECODING_CHUNK_SIZE, self.ip.cache_size,
+                    max_streams, method=type(model).chunk_tick_ok))
+            except Exception:
+                use_tick = False
+        self._use_chunk_tick = use_tick
         # weights packed ONCE for the fused kernel (repacking in-trace
         # would cost ~60 MB of stacking traffic on every tick)
         self._packed_chunk = jax.device_put(model.apply(
-            variables, method=type(model).pack_chunk_params)) \
+            variables, use_tick, method=type(model).pack_chunk_params)) \
             if use_fused else None
 
         def encoder_step(variables, xs, states, active, packed):
