@@ -679,7 +679,7 @@ class ConformerModel(nn.Module):
         loss_att = label_smoothing_loss(
             decoder_out, ys_out_pad, self.vocab_size, self.ignore_id,
             self.lsm_weight, self.length_normalized_loss)
-        if self.reverse_weight > 0.0:
+        if self.reverse_weight > 0.0 and self.decoder.r_num_blocks > 0:
             r_loss_att = label_smoothing_loss(
                 r_decoder_out, r_ys_out_pad, self.vocab_size, self.ignore_id,
                 self.lsm_weight, self.length_normalized_loss)
@@ -825,7 +825,7 @@ class ConformerModel(nn.Module):
             reverse_weight, False)
         logp = jax.nn.log_softmax(decoder_out.astype(jnp.float32), axis=-1)
         scores = self._gather_hyp_scores(logp, ys_out_pad, self.ignore_id)
-        if reverse_weight > 0.0:
+        if reverse_weight > 0.0 and self.decoder.r_num_blocks > 0:
             r_logp = jax.nn.log_softmax(r_decoder_out.astype(jnp.float32),
                                         axis=-1)
             r_scores = self._gather_hyp_scores(r_logp, r_ys_out_pad,

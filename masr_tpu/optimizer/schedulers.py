@@ -89,6 +89,20 @@ def build_optimizer(optimizer_conf, grad_clip=5.0, accum_grad=1):
     wd = float(conf.get("weight_decay", 0.0))
     schedule = build_lr_schedule(conf.get("scheduler", "WarmupLR"), lr,
                                  conf.get("scheduler_conf"))
+    if name in ("Adam", "AdamW") and conf.get("fused", False):
+        # single-pass fused update (optimizer/fused.py): same numbers as
+        # the optax chain below with fewer materialized intermediates.
+        # Measured NEUTRAL on v5e inside the jitted train step (23.3 vs
+        # 22.9 ms/step, within run noise) — XLA already fuses the chain;
+        # the optimizer's ~3.5 ms is moment/param HBM traffic, which both
+        # forms pay. Kept opt-in for the activation-memory headroom.
+        from masr_tpu.optimizer.fused import fused_adam
+        tx = fused_adam(schedule, weight_decay=wd,
+                        decoupled=(name == "AdamW"),
+                        grad_clip=grad_clip if grad_clip else None)
+        if accum_grad and accum_grad > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=accum_grad)
+        return tx, schedule
     if name == "Adam":
         # torch Adam's weight_decay is L2 added to the gradient pre-moments
         base = optax.chain(optax.add_decayed_weights(wd),
