@@ -30,8 +30,12 @@ class CTCHead(nn.Module):
         logit_paddings = (jnp.arange(T)[None, :] >= hlens[:, None]).astype(jnp.float32)
         labels = jnp.where(ys_pad == IGNORE_ID, 0, ys_pad)
         label_paddings = (jnp.arange(L)[None, :] >= ys_lens[:, None]).astype(jnp.float32)
-        per_seq = optax.ctc_loss(logits, logit_paddings, labels, label_paddings,
-                                 blank_id=0)
+        # auto-routes to the one-kernel Pallas CTC on single-chip TPU
+        # (optax's scan is launch-latency-bound: ~2.9 ms at T'=299);
+        # optax.ctc_loss elsewhere — ops/pallas/ctc_loss.py pins parity
+        from masr_tpu.ops.pallas.ctc_loss import ctc_loss
+        per_seq = ctc_loss(logits, logit_paddings, labels, label_paddings,
+                           blank_id=0)
         return jnp.mean(per_seq)
 
     def logits(self, hs_pad):
