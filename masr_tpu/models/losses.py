@@ -31,7 +31,8 @@ class CTCHead(nn.Module):
         labels = jnp.where(ys_pad == IGNORE_ID, 0, ys_pad)
         label_paddings = (jnp.arange(L)[None, :] >= ys_lens[:, None]).astype(jnp.float32)
         # auto-routes to the one-kernel Pallas CTC on single-chip TPU
-        # (optax's scan is launch-latency-bound: ~2.9 ms at T'=299);
+        # (optax's T-step scan is launch-latency-bound: 1.56 vs 0.89 ms
+        # fwd+bwd at T'=299, B=16, V=4233 on v5e);
         # optax.ctc_loss elsewhere — ops/pallas/ctc_loss.py pins parity
         from masr_tpu.ops.pallas.ctc_loss import ctc_loss
         per_seq = ctc_loss(logits, logit_paddings, labels, label_paddings,

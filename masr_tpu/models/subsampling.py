@@ -7,7 +7,6 @@ All operate channels-last: x (B, T, F) → (B, T', odim). Each class reports
 used by the streaming window math (predict.py:282-300 in the reference).
 """
 
-import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -16,48 +15,6 @@ from masr_tpu.models.embedding import POS_ENC_CLASSES
 
 def _conv_out_len(t, kernel, stride):
     return (t - kernel) // stride + 1
-
-
-class PatchConv1(nn.Module):
-    """First subsampling conv (1 input channel) as an im2col matmul.
-
-    XLA's TPU conv lowering is pathological at C_in=1: measured 1.37 ms
-    of the 1.95 ms embed forward at the bench shape (B=16×1200×80,
-    bf16) — ~5× its HBM roofline — while the 256-channel conv2 already
-    runs at ~90% of the MXU roofline. Building the kh·kw strided taps
-    explicitly (a few-MB copy) and contracting (B,T',F',9) @ (9,C)
-    instead runs near the memory bound, and its autodiff transpose
-    (pad-scatter + the two small matmuls) is equally friendly.
-
-    The param tree matches nn.Conv exactly (kernel (kh,kw,1,C) named
-    "kernel", bias (C,)), so torch→flax conversion and existing
-    checkpoints are unchanged.
-    """
-    features: int
-    kernel_size: tuple = (3, 3)
-    strides: tuple = (2, 2)
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):                        # x (B, T, F, 1)
-        kh, kw = self.kernel_size
-        st, sf = self.strides
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (kh, kw, 1, self.features))
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        x = x[..., 0].astype(self.dtype)
-        B, T, F = x.shape
-        T1 = _conv_out_len(T, kh, st)
-        F1 = _conv_out_len(F, kw, sf)
-        taps = [
-            jax.lax.slice(x, (0, dt, df),
-                          (B, dt + (T1 - 1) * st + 1,
-                           df + (F1 - 1) * sf + 1), (1, st, sf))
-            for dt in range(kh) for df in range(kw)]
-        patches = jnp.stack(taps, axis=-1)        # (B, T1, F1, kh·kw)
-        w = kernel.reshape(kh * kw, self.features).astype(self.dtype)
-        y = jnp.einsum("btfk,kc->btfc", patches, w)
-        return y + bias.astype(self.dtype)
 
 
 class LinearNoSubsampling(nn.Module):
@@ -103,8 +60,8 @@ class Conv2dSubsampling4(nn.Module):
     def __call__(self, x, x_mask=None, offset=0, train: bool = False):
         B = x.shape[0]
         x = x[..., None]  # (B, T, F, 1)
-        x = nn.relu(PatchConv1(self.odim, (3, 3), (2, 2),
-                               dtype=self.dtype, name="conv1")(x))
+        x = nn.relu(nn.Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID",
+                            dtype=self.dtype, name="conv1")(x))
         x = nn.relu(nn.Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID",
                             dtype=self.dtype, name="conv2")(x))
         B_, T, F, C = x.shape
@@ -135,8 +92,8 @@ class Conv2dSubsampling6(nn.Module):
     def __call__(self, x, x_mask=None, offset=0, train: bool = False):
         B = x.shape[0]
         x = x[..., None]
-        x = nn.relu(PatchConv1(self.odim, (3, 3), (2, 2),
-                               dtype=self.dtype, name="conv1")(x))
+        x = nn.relu(nn.Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID",
+                            dtype=self.dtype, name="conv1")(x))
         x = nn.relu(nn.Conv(self.odim, (5, 5), strides=(3, 3), padding="VALID",
                             dtype=self.dtype, name="conv2")(x))
         B_, T, F, C = x.shape
@@ -167,9 +124,7 @@ class Conv2dSubsampling8(nn.Module):
     def __call__(self, x, x_mask=None, offset=0, train: bool = False):
         B = x.shape[0]
         x = x[..., None]
-        x = nn.relu(PatchConv1(self.odim, (3, 3), (2, 2),
-                               dtype=self.dtype, name="conv1")(x))
-        for i in range(1, 3):
+        for i in range(3):
             x = nn.relu(nn.Conv(self.odim, (3, 3), strides=(2, 2),
                                 padding="VALID", dtype=self.dtype,
                                 name=f"conv{i + 1}")(x))
@@ -205,8 +160,8 @@ class DepthwiseConv2dSubsampling4(nn.Module):
     def __call__(self, x, x_mask=None, offset=0, train: bool = False):
         B = x.shape[0]
         x = x[..., None]
-        x = nn.relu(PatchConv1(self.odim, (3, 3), (2, 2),
-                               dtype=self.dtype, name="pw_conv")(x))
+        x = nn.relu(nn.Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID",
+                            dtype=self.dtype, name="pw_conv")(x))
         x = nn.relu(nn.Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID",
                             feature_group_count=self.odim if self.dw_stride else 1,
                             dtype=self.dtype, name="dw_conv")(x))
@@ -241,8 +196,8 @@ class Conv2dSubsampling2(nn.Module):
     def __call__(self, x, x_mask=None, offset=0, train: bool = False):
         B = x.shape[0]
         x = x[..., None]
-        x = nn.relu(PatchConv1(self.odim, (3, 3), (2, 2),
-                               dtype=self.dtype, name="conv1")(x))
+        x = nn.relu(nn.Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID",
+                            dtype=self.dtype, name="conv1")(x))
         B_, T, F, C = x.shape
         x = x.reshape(B, T, F * C)
         x = nn.Dense(self.odim, dtype=self.dtype, name="out")(x)
@@ -270,8 +225,8 @@ class Conv2dSubsampling4Pure(nn.Module):
     @nn.compact
     def __call__(self, x, x_len=None, train: bool = False):
         x = x[..., None]
-        x = nn.relu(PatchConv1(self.odim, (3, 3), (2, 2),
-                               dtype=self.dtype, name="conv1")(x))
+        x = nn.relu(nn.Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID",
+                            dtype=self.dtype, name="conv1")(x))
         x = nn.relu(nn.Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID",
                             dtype=self.dtype, name="conv2")(x))
         B, T, F, C = x.shape

@@ -1,9 +1,9 @@
 """One-kernel CTC loss (Pallas, TPU).
 
 optax.ctc_loss lowers the alpha recursion to a lax.scan with T sequential
-(B, 2L+1) steps — on this chip that is latency-bound at ~10 µs/step
-(~2.9 ms for T'=299 at the bench shape, grad included), independent of
-batch size. This module runs the whole forward recursion in ONE
+(B, 2L+1) steps — on this chip that is latency-bound (measured 1.56 ms
+fwd+bwd for T'=299, B=16, V=4233, independent of batch size; this kernel:
+0.89 ms). This module runs the whole forward recursion in ONE
 pallas_call (alphas live in VMEM, the T-loop is an in-kernel fori_loop)
 and the beta/occupancy recursion in one more for the backward, then lets
 XLA do the embarrassingly-parallel parts (log_softmax, the state gather
