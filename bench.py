@@ -207,11 +207,12 @@ def bench_e2e_stream(tmpdir):
     return float(np.percentile(lat, 50)), float(np.percentile(lat, 90))
 
 
-def bench_train_step():
-    """Full-size conformer train step, B=16 × 12 s, bf16 AMP →
+def bench_train_step(B=16, count_flops=True):
+    """Full-size conformer train step, B × 12 s, bf16 AMP →
     (per_step_s, flops). Times the default (fused-layer) step; FLOPs are
     counted on the XLA-path variant (cost_analysis can't see inside
-    Pallas kernels — same math either way)."""
+    Pallas kernels — same math either way; every term is linear in B so
+    callers may scale a B=16 count instead of recompiling)."""
     import jax
     import jax.numpy as jnp
     from masr_tpu.optimizer.schedulers import build_optimizer
@@ -224,7 +225,7 @@ def bench_train_step():
         grad_clip=5.0, accum_grad=1)
     state = TrainState.create(model.apply, variables["params"], tx,
                               variables.get("batch_stats"))
-    B, T, L = 16, 1200, 30
+    T, L = 1200, 30
     rs = np.random.RandomState(0)
     batch0 = {
         "inputs": jnp.asarray(rs.standard_normal((B, T, FEAT)), jnp.float32),
@@ -235,15 +236,20 @@ def bench_train_step():
     from masr_tpu.training.train_state import train_rng
     step_fn = make_train_step(model, tx)
     rng = train_rng(0)  # production RNG impl (rbg): see train_state.train_rng
-    from masr_tpu.models.registry import build_model
-    from masr_tpu.models.cmvn import GlobalCMVN
-    enc_xla = dict(ENC, use_fused_layer=False, use_fused_layer_train=False)
-    model_x = build_model(
-        "conformer", FEAT, VOCAB_SIZE, streaming=True, encoder_conf=enc_xla,
-        decoder_conf=DEC, model_conf=dict(ctc_weight=0.3),
-        cmvn=GlobalCMVN(np.zeros(FEAT), np.ones(FEAT)), dtype=jnp.bfloat16)
-    step_x = make_train_step(model_x, tx)
-    flops = xla_flops(jax.jit(step_x), state, batch0, rng)
+    flops = None
+    if count_flops:
+        from masr_tpu.models.registry import build_model
+        from masr_tpu.models.cmvn import GlobalCMVN
+        enc_xla = dict(ENC, use_fused_layer=False,
+                       use_fused_layer_train=False)
+        model_x = build_model(
+            "conformer", FEAT, VOCAB_SIZE, streaming=True,
+            encoder_conf=enc_xla, decoder_conf=DEC,
+            model_conf=dict(ctc_weight=0.3),
+            cmvn=GlobalCMVN(np.zeros(FEAT), np.ones(FEAT)),
+            dtype=jnp.bfloat16)
+        step_x = make_train_step(model_x, tx)
+        flops = xla_flops(jax.jit(step_x), state, batch0, rng)
 
     # K chained optimizer steps inside ONE jitted scan: per-step time is
     # free of the remote-tunnel dispatch RTT, matching how a real train
@@ -426,11 +432,17 @@ def main():
     log(f"on-device batched beam search: {np.median(tbs) * 1e3:.0f} ms for "
         f"B={Bd}×{Td} frames (beam 10) = {beam_ms_utt:.2f} ms/utt")
 
-    # training step
-    train_secs, train_flops = bench_train_step()
+    # training step: B=16 (metric continuity) + B=32 (production shape —
+    # the per-step optimizer cost amortizes; see docs/status.md)
+    train_secs, train_flops = bench_train_step(B=16)
     train_mfu = mfu(train_flops, train_secs, peak)
     log(f"train step B=16×12 s (bf16 AMP): {train_secs * 1e3:.1f} ms/step, "
         f"MFU {train_mfu}")
+    train32_secs, _ = bench_train_step(B=32, count_flops=False)
+    train32_mfu = mfu(2 * train_flops if train_flops else None,
+                      train32_secs, peak)
+    log(f"train step B=32×12 s (bf16 AMP): {train32_secs * 1e3:.1f} ms/step,"
+        f" MFU {train32_mfu}")
 
     baseline_rtf = 5.5  # reference GPU streaming demo midpoint (BASELINE.md)
     print(json.dumps({
@@ -453,6 +465,8 @@ def main():
         "full_context_b32_mfu": full["fused"]["mfu"] or full["xla"]["mfu"],
         "train_step_ms": round(train_secs * 1e3, 1),
         "train_mfu": train_mfu,
+        "train_b32_step_ms": round(train32_secs * 1e3, 1),
+        "train_b32_mfu": train32_mfu,
         "device_beam_ms_per_utt": round(beam_ms_utt, 2),
         "device": dev.device_kind,
     }))

@@ -35,6 +35,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 _HALF2_SEED_MIX = 0x3779b97f  # keeps half2's dropout stream distinct
+_ATT_SEED_MIX = 0x51ed2701    # attention draws get their own stream so the
+#                               bwd can skip the macaron recompute entirely
 FF_TILES = 4                  # hidden-column tiles in the FFN backward
 
 
@@ -101,22 +103,6 @@ def _ffn_fwd(x_ln, w1_ref, b1_ref, w2_ref, b2_ref, cdt, rate, train):
     return _mm(h, w2_ref[...], cdt) + b2_ref[...]
 
 
-def _ffn_fwd_tiled_masked(a, w1_ref, b1_ref, w2_ref, b2_ref, cdt, dmF):
-    """FFN forward in hidden-column tiles with a pre-drawn hidden mask —
-    the (T, F) hidden never fully materializes."""
-    F = w1_ref.shape[1]
-    tile = F // FF_TILES
-    out = None
-    for t in range(FF_TILES):
-        cs = slice(t * tile, (t + 1) * tile)
-        h_t = _silu(_mm(a, w1_ref[:, cs], cdt) + b1_ref[0:1, cs])
-        if dmF is not None:
-            h_t = h_t * dmF[:, cs]
-        y_t = _mm(h_t, w2_ref[cs, :], cdt)
-        out = y_t if out is None else out + y_t
-    return out + b2_ref[...]
-
-
 # --------------------------------------------------------------------------
 # half 1: macaron FFN + rel-pos MHSA
 # --------------------------------------------------------------------------
@@ -175,8 +161,12 @@ def _h1_attention(x1, amask, lnw_ref, attw_ref, attb_ref, posb_ref,
 
 def _h1_fwd_kernel(lens_ref, seed_ref, x_ref, mask_ref, lnw_ref, w1_ref,
                    b1_ref, w2_ref, b2_ref, attw_ref, attb_ref, posb_ref,
-                   posp_ref, o_ref, *, n_head, d_k, ff_scale, eps, rate,
-                   att_rate, train):
+                   posp_ref, o_ref, x1_ref, *, n_head, d_k, ff_scale, eps,
+                   rate, att_rate, train):
+    """Also emits x1 (post-macaron, f32) so the backward skips the
+    macaron-FFN forward recompute — x1 is a residual the fwd already
+    holds; the HBM round-trip (T·D f32 per program) is ~40× cheaper
+    than re-running the two (T,D)@(D,F) matmuls in the bwd kernel."""
     g = pl.program_id(0)
     cdt = x_ref.dtype
     if train and (rate > 0.0 or att_rate > 0.0):
@@ -185,18 +175,23 @@ def _h1_fwd_kernel(lens_ref, seed_ref, x_ref, mask_ref, lnw_ref, w1_ref,
     amask = mask_ref[0] != 0
     x1, _, _, _ = _h1_recompute_x1(x0, lnw_ref, w1_ref, b1_ref, w2_ref,
                                    b2_ref, cdt, ff_scale, eps, rate, train)
+    # attention draws live on their own stream (seed ^ _ATT_SEED_MIX) so
+    # the bwd can reproduce them without burning the macaron draws first
+    if train and (rate > 0.0 or att_rate > 0.0):
+        pltpu.prng_seed(seed_ref[g] ^ _ATT_SEED_MIX)
     att, _ = _h1_attention(x1, amask, lnw_ref, attw_ref, attb_ref,
                            posb_ref, posp_ref, cdt, n_head, d_k, eps,
                            rate, att_rate, train)
     o_ref[0] = (x1 + att).astype(o_ref.dtype)
+    x1_ref[0] = x1
 
 
 def _h1_bwd_kernel(lens_ref, seed_ref, x_ref, mask_ref, lnw_ref, w1_ref,
                    b1_ref, w2_ref, b2_ref, attw_ref, attb_ref, posb_ref,
-                   posp_ref, dy_ref, dx_ref, dlnw_ref, dw1_ref, db1_ref,
-                   dw2_ref, db2_ref, dattw_ref, dattb_ref, dposb_ref,
-                   dposp_ref, *, n_head, d_k, ff_scale, eps, rate,
-                   att_rate, train):
+                   posp_ref, x1_ref, dy_ref, dx_ref, dlnw_ref, dw1_ref,
+                   db1_ref, dw2_ref, db2_ref, dattw_ref, dattb_ref,
+                   dposb_ref, dposp_ref, *, n_head, d_k, ff_scale, eps,
+                   rate, att_rate, train):
     g = pl.program_id(0)
     T, D = x_ref.shape[1], x_ref.shape[2]
     cdt = x_ref.dtype
@@ -207,16 +202,15 @@ def _h1_bwd_kernel(lens_ref, seed_ref, x_ref, mask_ref, lnw_ref, w1_ref,
                   dattb_ref, dposb_ref, dposp_ref):
             r[...] = jnp.zeros_like(r)
 
-    if train and (rate > 0.0 or att_rate > 0.0):
-        pltpu.prng_seed(seed_ref[g])
     x0 = x_ref[0].astype(jnp.float32)
     amask = mask_ref[0] != 0
     dy = dy_ref[0].astype(jnp.float32)
 
-    # stage 1 recompute: macaron (internals NOT kept) + attention
-    x1, _, xhat0, inv0 = _h1_recompute_x1(
-        x0, lnw_ref, w1_ref, b1_ref, w2_ref, b2_ref, cdt, ff_scale, eps,
-        rate, train)
+    # stage 1: attention recompute from the SAVED x1 (the macaron-FFN
+    # forward is not re-run — its bwd only needs LN(x0) internals, cheap)
+    x1 = x1_ref[0]
+    if train and (rate > 0.0 or att_rate > 0.0):
+        pltpu.prng_seed(seed_ref[g] ^ _ATT_SEED_MIX)
     _, A = _h1_attention(x1, amask, lnw_ref, attw_ref, attb_ref, posb_ref,
                          posp_ref, cdt, n_head, d_k, eps, rate, att_rate,
                          train)
@@ -268,6 +262,8 @@ def _h1_bwd_kernel(lens_ref, seed_ref, x_ref, mask_ref, lnw_ref, w1_ref,
     # in the original fwd stream order: hidden (T,F) then output (T,D)) ----
     if train and (rate > 0.0 or att_rate > 0.0):
         pltpu.prng_seed(seed_ref[g])
+    _, xhat0, inv0 = _ln_fwd(x0, lnw_ref[0, 0:1, :], lnw_ref[0, 1:2, :],
+                             eps)
     a0 = xhat0 * lnw_ref[0, 0:1, :] + lnw_ref[0, 1:2, :]
     dmF = _dropout_mult((T, w1_ref.shape[1]), rate) \
         if (train and rate > 0.0) else None
@@ -353,8 +349,10 @@ def _h2_conv(x2, row_ok, lnw_ref, pw1w_ref, pw1b_ref, pw2w_ref, cvb_ref,
 
 def _h2_fwd_kernel(lens_ref, seed_ref, x_ref, lnw_ref, pw1w_ref, pw1b_ref,
                    pw2w_ref, cvb_ref, dww_ref, w1_ref, b1_ref, w2_ref,
-                   b2_ref, o_ref, *, ksize, causal, ff_scale, eps, rate,
-                   train):
+                   b2_ref, o_ref, x4_ref, *, ksize, causal, ff_scale, eps,
+                   rate, train):
+    """Also emits x4 (pre-final-LN, f32) so the backward skips the tiled
+    FFN forward recompute — final-LN bwd only needs LN(x4) internals."""
     g = pl.program_id(0)
     T, D = x_ref.shape[1], x_ref.shape[2]
     cdt = x_ref.dtype
@@ -374,14 +372,18 @@ def _h2_fwd_kernel(lens_ref, seed_ref, x_ref, lnw_ref, pw1w_ref, pw1b_ref,
     x4 = x3 + ff_scale * f1
     y, _, _ = _ln_fwd(x4, lnw_ref[3, 0:1, :], lnw_ref[3, 1:2, :], eps)
     o_ref[0] = y.astype(o_ref.dtype)
+    # bf16: the f32 variant overflows the bwd kernel's scoped VMEM by
+    # 46 KB at the production shape; the final-LN bwd tolerates the
+    # rounding (the XLA reference layer holds x4 in bf16 too)
+    x4_ref[0] = x4.astype(x4_ref.dtype)
 
 
 def _h2_bwd_kernel(lens_ref, seed_ref, x_ref, lnw_ref, pw1w_ref, pw1b_ref,
                    pw2w_ref, cvb_ref, dww_ref, w1_ref, b1_ref, w2_ref,
-                   b2_ref, dy_ref, dx_ref, dlnw_ref, dpw1w_ref, dpw1b_ref,
-                   dpw2w_ref, dcvb_ref, ddww_ref, dw1_ref, db1_ref,
-                   dw2_ref, db2_ref, *, ksize, causal, ff_scale, eps, rate,
-                   train):
+                   b2_ref, x4_ref, dy_ref, dx_ref, dlnw_ref, dpw1w_ref,
+                   dpw1b_ref, dpw2w_ref, dcvb_ref, ddww_ref, dw1_ref,
+                   db1_ref, dw2_ref, db2_ref, *, ksize, causal, ff_scale,
+                   eps, rate, train):
     g = pl.program_id(0)
     T, D = x_ref.shape[1], x_ref.shape[2]
     cdt = x_ref.dtype
@@ -409,12 +411,8 @@ def _h2_bwd_kernel(lens_ref, seed_ref, x_ref, lnw_ref, pw1w_ref, pw1b_ref,
     dmF = _dropout_mult((T, w1_ref.shape[1]), rate) \
         if (train and rate > 0.0) else None
     dmO = _dropout_mult((T, D), rate) if (train and rate > 0.0) else None
-    # recompute x4 via the tiled FFN forward (no full (T,F) hidden)
-    f1 = _ffn_fwd_tiled_masked(a3, w1_ref, b1_ref, w2_ref, b2_ref, cdt,
-                               dmF)
-    if dmO is not None:
-        f1 = f1 * dmO
-    x4 = x3 + ff_scale * f1
+    # x4 was saved by the forward — no tiled-FFN forward recompute
+    x4 = x4_ref[0].astype(jnp.float32)
     _, xhat5, inv5 = _ln_fwd(x4, lnw_ref[3, 0:1, :], lnw_ref[3, 1:2, :],
                              eps)
 
@@ -517,28 +515,29 @@ def _half1_fwd(x, mask, seeds, lens, p, n_head, ff_scale, eps, rate,
     ip = _interp(interpret, train and (rate > 0.0 or att_rate > 0.0))
     kw = dict(n_head=n_head, d_k=D // n_head, ff_scale=ff_scale, eps=eps,
               rate=rate, att_rate=att_rate, train=train)
-    y = pl.pallas_call(
+    y, x1 = pl.pallas_call(
         functools.partial(_h1_fwd_kernel, **kw),
-        out_shape=jax.ShapeDtypeStruct((B, T, D), x.dtype),
+        out_shape=(jax.ShapeDtypeStruct((B, T, D), x.dtype),
+                   jax.ShapeDtypeStruct((B, T, D), jnp.float32)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2, grid=(B,),
             in_specs=[_bspec((1, T, D)), _bspec((1, T, T)),
                       _cspec((2, 2, D)), _cspec((D, F)), _cspec((1, F)),
                       _cspec((F, D)), _cspec((1, D)), _cspec((4, D, D)),
                       _cspec((4, D)), _cspec((2, D)), _cspec((1, T, D))],
-            out_specs=_bspec((1, T, D))),
+            out_specs=(_bspec((1, T, D)), _bspec((1, T, D)))),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=ip,
     )(lens.astype(jnp.int32), seeds.astype(jnp.int32), x,
       mask.astype(jnp.int8), p["lnw"], p["w1"], p["b1"], p["w2"], p["b2"],
       p["attw"], p["attb"], p["posb"], p["posp"])
-    return y, (x, mask, seeds, lens, p)
+    return y, (x, x1, mask, seeds, lens, p)
 
 
 def _half1_bwd(n_head, ff_scale, eps, rate, att_rate, train, interpret,
                res, dy):
-    x, mask, seeds, lens, p = res
+    x, x1, mask, seeds, lens, p = res
     B, T, D = x.shape
     F = p["w1"].shape[1]
     ip = _interp(interpret, train and (rate > 0.0 or att_rate > 0.0))
@@ -558,7 +557,7 @@ def _half1_bwd(n_head, ff_scale, eps, rate, att_rate, train, interpret,
                       _cspec((2, 2, D)), _cspec((D, F)), _cspec((1, F)),
                       _cspec((F, D)), _cspec((1, D)), _cspec((4, D, D)),
                       _cspec((4, D)), _cspec((2, D)), _cspec((1, T, D)),
-                      _bspec((1, T, D))],
+                      _bspec((1, T, D)), _bspec((1, T, D))],
             out_specs=tuple([_bspec((1, T, D))]
                             + [_cspec(s) for s, _ in gshapes])),
         compiler_params=pltpu.CompilerParams(
@@ -566,7 +565,7 @@ def _half1_bwd(n_head, ff_scale, eps, rate, att_rate, train, interpret,
         interpret=ip,
     )(lens.astype(jnp.int32), seeds.astype(jnp.int32), x,
       mask.astype(jnp.int8), p["lnw"], p["w1"], p["b1"], p["w2"], p["b2"],
-      p["attw"], p["attb"], p["posb"], p["posp"], dy)
+      p["attw"], p["attb"], p["posb"], p["posp"], x1, dy)
     dx = outs[0]
     keys = ("lnw", "w1", "b1", "w2", "b2", "attw", "attb", "posb", "posp")
     dp = {k: outs[i + 1].astype(jnp.asarray(p[k]).dtype)
@@ -592,9 +591,10 @@ def _half2_fwd(x, seeds, lens, p, ksize, causal, ff_scale, eps, rate,
     ip = _interp(interpret, train and rate > 0.0)
     kw = dict(ksize=ksize, causal=causal, ff_scale=ff_scale, eps=eps,
               rate=rate, train=train)
-    y = pl.pallas_call(
+    y, x4 = pl.pallas_call(
         functools.partial(_h2_fwd_kernel, **kw),
-        out_shape=jax.ShapeDtypeStruct((B, T, D), x.dtype),
+        out_shape=(jax.ShapeDtypeStruct((B, T, D), x.dtype),
+                   jax.ShapeDtypeStruct((B, T, D), x.dtype)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2, grid=(B,),
             in_specs=[_bspec((1, T, D)), _cspec((4, 2, D)),
@@ -602,19 +602,19 @@ def _half2_fwd(x, seeds, lens, p, ksize, causal, ff_scale, eps, rate,
                       _cspec((D, D)), _cspec((2, D)), _cspec((ksize, D)),
                       _cspec((D, F)), _cspec((1, F)), _cspec((F, D)),
                       _cspec((1, D))],
-            out_specs=_bspec((1, T, D))),
+            out_specs=(_bspec((1, T, D)), _bspec((1, T, D)))),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=ip,
     )(lens.astype(jnp.int32), seeds.astype(jnp.int32), x, p["lnw"],
       p["pw1w"], p["pw1b"], p["pw2w"], p["cvb"], p["dww"], p["w1"],
       p["b1"], p["w2"], p["b2"])
-    return y, (x, seeds, lens, p)
+    return y, (x, x4, seeds, lens, p)
 
 
 def _half2_bwd(ksize, causal, ff_scale, eps, rate, train, interpret, res,
                dy):
-    x, seeds, lens, p = res
+    x, x4, seeds, lens, p = res
     B, T, D = x.shape
     F = p["w1"].shape[1]
     ip = _interp(interpret, train and rate > 0.0)
@@ -634,7 +634,8 @@ def _half2_bwd(ksize, causal, ff_scale, eps, rate, train, interpret, res,
                       _cspec((D, 2 * D)), _cspec((1, 2 * D)),
                       _cspec((D, D)), _cspec((2, D)), _cspec((ksize, D)),
                       _cspec((D, F)), _cspec((1, F)), _cspec((F, D)),
-                      _cspec((1, D)), _bspec((1, T, D))],
+                      _cspec((1, D)), _bspec((1, T, D)),
+                      _bspec((1, T, D))],
             out_specs=tuple([_bspec((1, T, D))]
                             + [_cspec(s) for s, _ in gshapes])),
         compiler_params=pltpu.CompilerParams(
@@ -642,7 +643,7 @@ def _half2_bwd(ksize, causal, ff_scale, eps, rate, train, interpret, res,
         interpret=ip,
     )(lens.astype(jnp.int32), seeds.astype(jnp.int32), x, p["lnw"],
       p["pw1w"], p["pw1b"], p["pw2w"], p["cvb"], p["dww"], p["w1"],
-      p["b1"], p["w2"], p["b2"], dy)
+      p["b1"], p["w2"], p["b2"], x4, dy)
     dx = outs[0]
     keys = ("lnw", "pw1w", "pw1b", "pw2w", "cvb", "dww", "w1", "b1", "w2",
             "b2")
