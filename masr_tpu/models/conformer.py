@@ -326,82 +326,29 @@ class ConformerEncoder(nn.Module):
                                      self.linear_units, self.dtype)
 
     def _fused_serve_stack(self, xs, lens2, pos_emb):
-        """Run every encoder layer through the fused serving kernel.
-        Single-device: direct calls. Multi-device: ONE shard_map around
-        the whole stack — batch sharded over every mesh axis (a dp×tp
-        mesh serves as pure data parallelism here; serving weights are
-        replicated), layer weights broadcast, one boundary reshard total
-        instead of per-layer."""
-        from jax.sharding import PartitionSpec as P
-        from masr_tpu.ops.pallas.conformer_layer import (
-            fused_conformer_layer, pack_layer_params)
-        packed_all, posp_all = [], []
-        for layer in self.encoders:
-            packed = pack_layer_params(layer.variables["params"], self.dtype)
-            posp_all.append(jnp.einsum(
-                "td,de->te", pos_emb[0].astype(self.dtype),
-                packed.pop("linear_pos"),
-                preferred_element_type=jnp.float32).astype(self.dtype))
-            packed_all.append(packed)
+        """Run every encoder layer through the fused serving kernel (see
+        fused_serve_stack — also reused by the Efficient-Conformer for
+        its plain-layer tail)."""
         l0 = self.encoders[0]
+        return fused_serve_stack(
+            self.encoders, xs, lens2, pos_emb, dtype=self.dtype,
+            n_head=self.attention_heads, ksize=self.cnn_module_kernel,
+            causal=self.causal, ff_scale=l0.ff_scale,
+            mesh_route=self._fused_mesh(xs.shape[0]))
 
-        def stack_fn(x, lens, posps, packs):
-            for pos_p, packed in zip(posps, packs):
-                x = fused_conformer_layer(
-                    x, lens, pos_p, packed, n_head=self.attention_heads,
-                    ksize=self.cnn_module_kernel, causal=self.causal,
-                    ff_scale=l0.ff_scale)
-            return x
-
-        ok, mesh = self._fused_mesh(xs.shape[0])
-        if mesh is None:
-            return stack_fn(xs, lens2, posp_all, packed_all)
-        ax = tuple(mesh.axis_names)
-        return jax.shard_map(
-            stack_fn, mesh=mesh,
-            in_specs=(P(ax), P(ax), P(), P()),
-            out_specs=P(ax), check_vma=False,
-        )(xs, lens2, posp_all, packed_all)
 
     def _fused_train_stack(self, xs, amask, seeds, lens2, pos_emb):
-        """Fused TRAIN stack (custom-VJP Pallas layers). Multi-device:
-        shard_map over the active mesh with the batch split across every
-        axis — the replicated-weight in_specs make shard_map's transpose
-        psum the weight cotangents, reproducing GSPMD's dp gradient sum
-        (TP-sharded params are gathered at the boundary, FSDP-style)."""
-        from jax.sharding import PartitionSpec as P
-        from masr_tpu.ops.pallas.conformer_layer import pack_layer_params
-        from masr_tpu.ops.pallas.conformer_layer_train import (
-            fused_conformer_layer_train)
-        packed_all = []
-        for layer in self.encoders:
-            packed = pack_layer_params(layer.variables["params"], self.dtype)
-            packed["posp"] = jnp.einsum(
-                "td,de->te", pos_emb[0].astype(self.dtype),
-                packed.pop("linear_pos"),
-                preferred_element_type=jnp.float32).astype(self.dtype)[None]
-            packed_all.append(packed)
-        interpret = jax.default_backend() != "tpu"
+        """Fused TRAIN stack (custom-VJP Pallas layers; see
+        fused_train_stack — also reused by the Efficient-Conformer for
+        its plain-layer tail)."""
         l0 = self.encoders[0]
-
-        def stack_fn(x, am, sd, lens, packs):
-            for i, packed in enumerate(packs):
-                x = fused_conformer_layer_train(
-                    x, am, sd[i], lens, packed, self.attention_heads,
-                    self.cnn_module_kernel, self.causal, l0.ff_scale, 1e-5,
-                    float(self.dropout_rate),
-                    float(self.attention_dropout_rate), True, interpret)
-            return x
-
-        ok, mesh = self._fused_mesh(xs.shape[0])
-        if mesh is None:
-            return stack_fn(xs, amask, seeds, lens2, packed_all)
-        ax = tuple(mesh.axis_names)
-        return jax.shard_map(
-            stack_fn, mesh=mesh,
-            in_specs=(P(ax), P(ax), P(None, ax), P(ax), P()),
-            out_specs=P(ax), check_vma=False,
-        )(xs, amask, seeds, lens2, packed_all)
+        return fused_train_stack(
+            self.encoders, xs, amask, seeds, lens2, pos_emb,
+            dtype=self.dtype, n_head=self.attention_heads,
+            ksize=self.cnn_module_kernel, causal=self.causal,
+            ff_scale=l0.ff_scale, dropout_rate=float(self.dropout_rate),
+            attention_dropout_rate=float(self.attention_dropout_rate),
+            mesh_route=self._fused_mesh(xs.shape[0]))
 
     def forward_chunk(self, xs, offset, att_cache, cnn_cache, cache_len):
         """One streaming chunk (parity: encoder.py:348-420, fixed shapes).
@@ -832,3 +779,83 @@ class ConformerModel(nn.Module):
                                                self.ignore_id)
             scores = (1 - reverse_weight) * scores + reverse_weight * r_scores
         return scores
+
+
+def fused_serve_stack(layers, xs, lens2, pos_emb, *, dtype, n_head, ksize,
+                      causal, ff_scale, mesh_route):
+    """Run `layers` (standard macaron/rel-pos/conv conformer layers)
+    through the fused serving kernel. Single-device: direct calls.
+    Multi-device: ONE shard_map around the whole stack — batch sharded
+    over every mesh axis (a dp×tp mesh serves as pure data parallelism
+    here; serving weights are replicated), layer weights broadcast, one
+    boundary reshard total instead of per-layer."""
+    from jax.sharding import PartitionSpec as P
+    from masr_tpu.ops.pallas.conformer_layer import (
+        fused_conformer_layer, pack_layer_params)
+    packed_all, posp_all = [], []
+    for layer in layers:
+        packed = pack_layer_params(layer.variables["params"], dtype)
+        posp_all.append(jnp.einsum(
+            "td,de->te", pos_emb[0].astype(dtype),
+            packed.pop("linear_pos"),
+            preferred_element_type=jnp.float32).astype(dtype))
+        packed_all.append(packed)
+
+    def stack_fn(x, lens, posps, packs):
+        for pos_p, packed in zip(posps, packs):
+            x = fused_conformer_layer(
+                x, lens, pos_p, packed, n_head=n_head, ksize=ksize,
+                causal=causal, ff_scale=ff_scale)
+        return x
+
+    ok, mesh = mesh_route
+    if mesh is None:
+        return stack_fn(xs, lens2, posp_all, packed_all)
+    ax = tuple(mesh.axis_names)
+    return jax.shard_map(
+        stack_fn, mesh=mesh,
+        in_specs=(P(ax), P(ax), P(), P()),
+        out_specs=P(ax), check_vma=False,
+    )(xs, lens2, posp_all, packed_all)
+
+
+def fused_train_stack(layers, xs, amask, seeds, lens2, pos_emb, *, dtype,
+                      n_head, ksize, causal, ff_scale, dropout_rate,
+                      attention_dropout_rate, mesh_route):
+    """Run `layers` through the fused TRAIN kernels (custom-VJP Pallas
+    layers). Multi-device: shard_map over the active mesh with the batch
+    split across every axis — the replicated-weight in_specs make
+    shard_map's transpose psum the weight cotangents, reproducing GSPMD's
+    dp gradient sum (TP-sharded params are gathered at the boundary,
+    FSDP-style)."""
+    from jax.sharding import PartitionSpec as P
+    from masr_tpu.ops.pallas.conformer_layer import pack_layer_params
+    from masr_tpu.ops.pallas.conformer_layer_train import (
+        fused_conformer_layer_train)
+    packed_all = []
+    for layer in layers:
+        packed = pack_layer_params(layer.variables["params"], dtype)
+        packed["posp"] = jnp.einsum(
+            "td,de->te", pos_emb[0].astype(dtype),
+            packed.pop("linear_pos"),
+            preferred_element_type=jnp.float32).astype(dtype)[None]
+        packed_all.append(packed)
+    interpret = jax.default_backend() != "tpu"
+
+    def stack_fn(x, am, sd, lens, packs):
+        for i, packed in enumerate(packs):
+            x = fused_conformer_layer_train(
+                x, am, sd[i], lens, packed, n_head, ksize, causal,
+                ff_scale, 1e-5, dropout_rate, attention_dropout_rate,
+                True, interpret)
+        return x
+
+    ok, mesh = mesh_route
+    if mesh is None:
+        return stack_fn(xs, amask, seeds, lens2, packed_all)
+    ax = tuple(mesh.axis_names)
+    return jax.shard_map(
+        stack_fn, mesh=mesh,
+        in_specs=(P(ax), P(ax), P(None, ax), P(ax), P()),
+        out_specs=P(ax), check_vma=False,
+    )(xs, amask, seeds, lens2, packed_all)

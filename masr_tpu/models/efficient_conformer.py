@@ -295,6 +295,13 @@ class EfficientConformerEncoder(nn.Module):
     group_size: int = 3
     stride_kernel: bool = True
     efficient_conf: Optional[Dict] = None
+    # fused fast paths: the layers AFTER the last stride/grouped layer
+    # are standard conformer layers at the final (downsampled) resolution
+    # — route that tail through the fused whole-layer Pallas kernels
+    # (8 of 12 layers in the reference default config); serving and
+    # training variants gate separately like the flagship encoder
+    use_fused_layer: bool = True
+    use_fused_layer_train: bool = True
     cmvn: Any = None
     dtype: jnp.dtype = jnp.float32
 
@@ -419,7 +426,9 @@ class EfficientConformerEncoder(nn.Module):
             decoding_chunk_size, self.static_chunk_size,
             num_decoding_left_chunks, rng=rng)
         index = 0
-        for i, layer in enumerate(self.encoders):
+        split = self._fused_tail_split(decoding_chunk_size, train, T2,
+                                       xs.shape[0])
+        for i, layer in enumerate(self.encoders[:split]):
             xs, _, _ = layer(xs, chunk_masks, pos_emb, mask_pad, train=train)
             if i in self._stride_idx:
                 s = self._strides[index]
@@ -428,9 +437,89 @@ class EfficientConformerEncoder(nn.Module):
                 mask_pad = masks
                 pos_emb = pos_emb[:, ::s, :]
                 index += 1
+        if split < len(self.encoders):
+            # plain-conformer tail at the final resolution → fused kernels
+            from masr_tpu.models.conformer import (fused_serve_stack,
+                                                   fused_train_stack)
+            from masr_tpu.parallel.mesh import fused_route_mesh
+            tail = self.encoders[split:]
+            B = xs.shape[0]
+            lens_f = masks[:, 0, :].sum(axis=1).astype(jnp.int32)
+            if train:
+                T_tail = xs.shape[1]
+                amask = jnp.broadcast_to(chunk_masks, (B, T_tail, T_tail))
+                if (self.dropout_rate > 0
+                        or self.attention_dropout_rate > 0):
+                    import jax
+                    seeds = jax.random.randint(
+                        self.make_rng("dropout"), (len(tail), B), 0,
+                        jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+                else:
+                    seeds = jnp.zeros((len(tail), B), jnp.int32)
+                xs = fused_train_stack(
+                    tail, xs, amask, seeds, lens_f, pos_emb,
+                    dtype=self.dtype, n_head=self.attention_heads,
+                    ksize=tail[0].cnn_module_kernel, causal=self.causal,
+                    ff_scale=tail[0].ff_scale,
+                    dropout_rate=float(self.dropout_rate),
+                    attention_dropout_rate=float(
+                        self.attention_dropout_rate),
+                    mesh_route=fused_route_mesh(B))
+            else:
+                xs = fused_serve_stack(
+                    tail, xs, lens_f, pos_emb, dtype=self.dtype,
+                    n_head=self.attention_heads,
+                    ksize=tail[0].cnn_module_kernel, causal=self.causal,
+                    ff_scale=tail[0].ff_scale,
+                    mesh_route=fused_route_mesh(B))
         if self.normalize_before:
             xs = self.after_norm(xs)
         return xs, masks
+
+    def _fused_tail_split(self, decoding_chunk_size, train, T2, B):
+        """Start index of the fused plain-layer tail, or len(encoders)
+        when the fused route is off (same gates as the flagship encoder's
+        _fused_eligible / _fused_train_eligible; T at the final
+        resolution prices the VMEM budget)."""
+        n = self.num_blocks
+        special = list(self._stride_idx) + [
+            i for i in self._group_idx if i < n]
+        start = (max(special) + 1) if special else 0
+        if start >= n:
+            return n
+        if not (self.pos_enc_layer_type == "rel_pos"
+                and not self.is_initializing()
+                and self.normalize_before and self.macaron_style
+                and self.use_cnn_module
+                and self.cnn_module_norm == "layer_norm"):
+            return n
+        if train:
+            if not self.use_fused_layer_train:
+                return n
+        elif not (self.use_fused_layer and decoding_chunk_size == -1
+                  and (self.use_dynamic_chunk
+                       or self.static_chunk_size <= 0)):
+            return n
+        import jax
+        from masr_tpu.ops.pallas import conformer_layer as cl
+        if not (jax.default_backend() == "tpu" or cl.FORCE_ON_CPU):
+            return n
+        from masr_tpu.parallel.mesh import fused_route_mesh
+        if not fused_route_mesh(B)[0]:
+            return n
+        t_tail = T2
+        for s in self._strides:
+            t_tail = -(-t_tail // s)
+        if train:
+            from masr_tpu.ops.pallas.conformer_layer_train import (
+                fused_train_supported)
+            if not fused_train_supported(t_tail, self.output_size,
+                                         self.linear_units, self.dtype):
+                return n
+        elif not cl.fused_layer_supported(t_tail, self.output_size,
+                                          self.linear_units, self.dtype):
+            return n
+        return start
 
     # ------------------------------------------------------------------ #
     def _pos(self, start, size, stride=1):

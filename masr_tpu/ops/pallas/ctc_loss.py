@@ -281,15 +281,35 @@ _ctc_core.defvjp(_ctc_fwd, _ctc_bwd)
 
 
 def ctc_loss(logits, logit_paddings, labels, label_paddings, blank_id=0):
-    """Auto-routing CTC loss: the one-kernel Pallas path on single-device
-    TPU (or under FORCE_ON_CPU in tests), optax.ctc_loss otherwise."""
+    """Auto-routing CTC loss: the one-kernel Pallas path on TPU (or under
+    FORCE_ON_CPU in tests), optax.ctc_loss otherwise. Multi-device runs
+    shard_map the kernel over the registered active mesh (batch split
+    across every axis — per-sequence losses are independent, no
+    collectives); without a registered mesh multi-chip keeps optax,
+    which GSPMD partitions freely (same routing discipline as the fused
+    encoder layers, parallel/mesh.py)."""
     import optax
     B, T, _ = logits.shape
     S = 2 * labels.shape[1] + 1
-    on_tpu = jax.default_backend() == "tpu" and jax.device_count() == 1
+    on_tpu = jax.default_backend() == "tpu"
     if (on_tpu or FORCE_ON_CPU) and supported(T, S, B):
-        return ctc_loss_pallas(logits, logit_paddings, labels,
-                               label_paddings, blank_id,
-                               interpret=not on_tpu)
+        from masr_tpu.parallel.mesh import fused_route_mesh
+        ok, mesh = fused_route_mesh(B)
+        if ok and mesh is None:
+            return ctc_loss_pallas(logits, logit_paddings, labels,
+                                   label_paddings, blank_id,
+                                   interpret=not on_tpu)
+        if ok:
+            from jax.sharding import PartitionSpec as P
+            ax = tuple(mesh.axis_names)
+
+            def shard_fn(lg, lp, lb, lbp):
+                return ctc_loss_pallas(lg, lp, lb, lbp, blank_id,
+                                       interpret=not on_tpu)
+
+            return jax.shard_map(
+                shard_fn, mesh=mesh, in_specs=(P(ax), P(ax), P(ax), P(ax)),
+                out_specs=P(ax), check_vma=False,
+            )(logits, logit_paddings, labels, label_paddings)
     return optax.ctc_loss(logits, logit_paddings, labels, label_paddings,
                           blank_id=blank_id)

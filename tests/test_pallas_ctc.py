@@ -79,3 +79,27 @@ def test_auto_route_uses_kernel_under_force(monkeypatch):
     ref = optax.ctc_loss(*args, blank_id=0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_route_matches_optax(monkeypatch):
+    """With a registered active mesh the router shard_maps the kernel
+    over the batch (same discipline as the fused encoder layers);
+    values AND grads must still match optax."""
+    from masr_tpu.parallel.mesh import active_mesh, make_mesh
+    monkeypatch.setattr(M, "FORCE_ON_CPU", True)
+    args = _case(13, 8, 40, 21, 8)
+    w = jnp.asarray(np.random.RandomState(113).standard_normal(8),
+                    jnp.float32)
+
+    def loss(fn, lg):
+        return jnp.sum(fn(lg, *args[1:], blank_id=0) * w)
+
+    ref = optax.ctc_loss(*args, blank_id=0)
+    g_ref = jax.grad(lambda lg: loss(optax.ctc_loss, lg))(args[0])
+    with active_mesh(make_mesh()):            # dp over all 8 CPU devices
+        got = M.ctc_loss(*args, blank_id=0)
+        g_got = jax.grad(lambda lg: loss(M.ctc_loss, lg))(args[0])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               rtol=2e-4, atol=2e-5)
