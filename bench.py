@@ -85,18 +85,21 @@ def init_vars(model):
         jnp.ones((1, 4), jnp.int32), jnp.asarray([4]), train=False)
 
 
-def bench_stream_scan(model, variables, batch, K, fused=False):
+def bench_stream_scan(model, variables, batch, K, fused=False,
+                      kv_int8=False):
     """Scanned chunk stream: K distinct steps in one dispatch →
     (per_step_s, flops_per_step). fused=True uses the batched fused
     chunk step (ops/pallas/chunk_layer.py) — the path the batched
     serving engine routes on TPU; it additionally supports per-slot
-    offsets/validity (batch_stream.py)."""
+    offsets/validity (batch_stream.py). kv_int8=True benches the
+    per-row-quantized attention cache (fused_chunk_layer_q8 — halves
+    the cache DMA that bounds the tick, docs/streaming_roofline.md)."""
     import jax
     import jax.numpy as jnp
     cache_size = CHUNK * 16
     if fused:
         tmpl = model.apply(variables, method=lambda m: m.encoder.init_cache(
-            batch=1, cache_size=cache_size))
+            batch=1, cache_size=cache_size, kv_int8=kv_int8))
         state = jax.tree.map(lambda x: jnp.stack([x] * batch), tmpl)
         method = type(model).get_encoder_out_chunk_batched
     else:

@@ -28,10 +28,15 @@ from masr_tpu.infer.predictor import (CACHED_FEATURE_NUM, CONTEXT,
 
 class BatchStreamSession(object):
     def __init__(self, inference_predictor, vocab_list, preprocess_conf=None,
-                 max_streams=8, decoder="ctc_greedy", decoder_conf=None):
+                 max_streams=8, decoder="ctc_greedy", decoder_conf=None,
+                 kv_cache="bf16"):
         """decoder: 'ctc_greedy' (fused argmax head, per-slot host carry)
         or 'ctc_beam_search_device' (ALL slots' prefix beam search inside
-        the tick program, incl. optional dense-bigram LM fusion)."""
+        the tick program, incl. optional dense-bigram LM fusion).
+        kv_cache: 'bf16' (exact) or 'int8' (per-row-quantized attention
+        caches — ~half the cache DMA that bounds the tick, bigger slot
+        blocks; needs the fused chunk path, falls back to bf16 without
+        it. docs/streaming_roofline.md)."""
         self.ip = inference_predictor
         self.N = max_streams
         self.vocab_list = vocab_list
@@ -40,16 +45,6 @@ class BatchStreamSession(object):
         self._featurizer = AudioFeaturizer(train=False,
                                            **(preprocess_conf or {}))
         model, variables = self.ip.model, self.ip.variables
-        if self.ip.use_model == "deepspeech2":
-            template = model.apply(variables,
-                                   method=lambda m: m.init_cache(batch=1))
-        else:
-            template = model.apply(
-                variables, method=lambda m: m.encoder.init_cache(
-                    batch=1, cache_size=self.ip.cache_size))
-        self._template = template
-        self.states = jax.tree.map(
-            lambda x: jnp.stack([x] * max_streams), template)
 
         def one_step(variables, x, state):
             return model.apply(variables, x, state,
@@ -68,11 +63,30 @@ class BatchStreamSession(object):
             except Exception:
                 use_fused = False
         self._use_fused_chunk = use_fused
+        kv_int8 = kv_cache == "int8" and use_fused \
+            and self.ip.use_model != "deepspeech2"
+        self.kv_cache = "int8" if kv_int8 else "bf16"
+        if self.ip.use_model == "deepspeech2":
+            template = model.apply(variables,
+                                   method=lambda m: m.init_cache(batch=1))
+        elif kv_int8:       # conformer-only (chunk_fused_ok gates on it)
+            template = model.apply(
+                variables, method=lambda m: m.encoder.init_cache(
+                    batch=1, cache_size=self.ip.cache_size, kv_int8=True))
+        else:
+            template = model.apply(
+                variables, method=lambda m: m.encoder.init_cache(
+                    batch=1, cache_size=self.ip.cache_size))
+        self._template = template
+        self.states = jax.tree.map(
+            lambda x: jnp.stack([x] * max_streams), template)
         # whole-tick megakernel when supported (one pallas_call for all
         # layers instead of one per layer — the per-layer path is
-        # launch/DMA-floor-bound, ops/pallas/chunk_tick.py)
+        # launch/DMA-floor-bound, ops/pallas/chunk_tick.py); no int8
+        # variant exists, so the quantized cache keeps the per-layer path
         use_tick = False
-        if use_fused and hasattr(type(model), "chunk_tick_ok"):
+        if use_fused and not kv_int8 and hasattr(type(model),
+                                                 "chunk_tick_ok"):
             try:
                 use_tick = bool(model.apply(
                     variables, DECODING_CHUNK_SIZE, self.ip.cache_size,

@@ -212,7 +212,8 @@ async function stopRecording() {
 
 class ASRServer(object):
     def __init__(self, predictor, host="0.0.0.0", port=5000, ws_port=None,
-                 use_pun=False, is_itn=False, max_streams=0):
+                 use_pun=False, is_itn=False, max_streams=0,
+                 kv_cache="bf16"):
         """max_streams > 1 serves that many CONCURRENT WebSocket streams
         through the batched engine (masr_tpu.infer.batch_stream): one
         compiled vmapped chunk step per tick, per-connection slots.
@@ -251,7 +252,7 @@ class ASRServer(object):
                 preprocess_conf=dict(
                     predictor.predictor.meta.get("preprocess_conf") or {}),
                 max_streams=max_streams, decoder=stream_decoder,
-                decoder_conf=conf)
+                decoder_conf=conf, kv_cache=kv_cache)
 
     # ------------------------------ REST ------------------------------- #
     def _make_handler(server):

@@ -415,16 +415,22 @@ class ConformerEncoder(nn.Module):
                                      self.attention_heads, self.dtype)
 
     def forward_chunk_batched(self, xs, offsets, att_cache, cnn_cache,
-                              cache_lens, packed=None):
+                              cache_lens, packed=None, att_scale=None):
         """Batched streaming chunk step with PER-SLOT offsets/validity —
         the fused-kernel analogue of vmapping forward_chunk (one
         pallas_call per layer; see ops/pallas/chunk_layer.py).
 
         xs: (N, T_in, input_size); offsets, cache_lens: (N,) int32;
         att_cache: (L, N, h, C, 2·d_k); cnn_cache: (L, N, lorder, D).
-        → (ys (N, chunk, D), new_att_cache, new_cnn_cache)."""
+        att_scale (optional): (L, N, 2·h, C) f32 — when given, att_cache
+        is int8 with per-row scales and the tick runs the quantized
+        kernel (fused_chunk_layer_q8: half the cache DMA, bigger slot
+        blocks — docs/streaming_roofline.md).
+        → (ys (N, chunk, D), new_att_cache[, new_att_scale],
+        new_cnn_cache)."""
         from masr_tpu.models.embedding import sinusoid_position_encoding
-        from masr_tpu.ops.pallas.chunk_layer import fused_chunk_layer
+        from masr_tpu.ops.pallas.chunk_layer import (fused_chunk_layer,
+                                                     fused_chunk_layer_q8)
         if self.cmvn is not None:
             xs = self.cmvn(xs)
         xs = xs.astype(self.dtype)
@@ -440,11 +446,18 @@ class ConformerEncoder(nn.Module):
         if packed is None:
             packed = self.pack_chunk_params()
         l0 = self.encoders[0]
+        quant = att_scale is not None
         use_tick = isinstance(packed, dict)
+        assert not (quant and use_tick), \
+            "whole-tick megakernel has no int8-cache variant"
         if use_tick:
             from masr_tpu.ops.pallas.chunk_tick import fused_chunk_tick
 
-        def stack_fn(x, pe, att_c, cnn_c, clens, packs):
+        def stack_fn(*a):
+            if quant:
+                x, pe, att_c, sc_c, cnn_c, clens, packs = a
+            else:
+                x, pe, att_c, cnn_c, clens, packs = a
             if use_tick:
                 # whole-tick megakernel: ONE pallas_call for all layers
                 posp = jnp.einsum(
@@ -455,7 +468,7 @@ class ConformerEncoder(nn.Module):
                     x, posp, att_c, cnn_c, clens, packs["stacked"],
                     n_head=self.attention_heads,
                     ksize=self.cnn_module_kernel, ff_scale=l0.ff_scale)
-            new_att, new_cnn = [], []
+            new_att, new_sc, new_cnn = [], [], []
             for i in range(len(self.encoders)):
                 p, wpos = packs[i]
                 # linear_pos as ONE batched einsum per layer — projecting
@@ -464,32 +477,57 @@ class ConformerEncoder(nn.Module):
                 posp = jnp.einsum(
                     "nld,de->nle", pe.astype(wpos.dtype), wpos,
                     preferred_element_type=jnp.float32).astype(pe.dtype)
-                x, a, cn = fused_chunk_layer(
-                    x, posp, att_c[i], cnn_c[i], clens,
-                    p, n_head=self.attention_heads,
-                    ksize=self.cnn_module_kernel, ff_scale=l0.ff_scale)
+                if quant:
+                    x, a, s, cn = fused_chunk_layer_q8(
+                        x, posp, att_c[i], sc_c[i], cnn_c[i], clens,
+                        p, n_head=self.attention_heads,
+                        ksize=self.cnn_module_kernel, ff_scale=l0.ff_scale)
+                    new_sc.append(s)
+                else:
+                    x, a, cn = fused_chunk_layer(
+                        x, posp, att_c[i], cnn_c[i], clens,
+                        p, n_head=self.attention_heads,
+                        ksize=self.cnn_module_kernel, ff_scale=l0.ff_scale)
                 new_att.append(a)
                 new_cnn.append(cn)
+            if quant:
+                return (x, jnp.stack(new_att, 0), jnp.stack(new_sc, 0),
+                        jnp.stack(new_cnn, 0))
             return x, jnp.stack(new_att, 0), jnp.stack(new_cnn, 0)
 
         ok, mesh = self._fused_mesh(N)
         if mesh is None:
-            xs, att_cache, cnn_cache = stack_fn(
-                xs, pos_emb, att_cache, cnn_cache, cache_lens, packed)
+            out = stack_fn(*((xs, pos_emb, att_cache, att_scale, cnn_cache,
+                              cache_lens, packed) if quant else
+                             (xs, pos_emb, att_cache, cnn_cache,
+                              cache_lens, packed)))
         else:
             from jax.sharding import PartitionSpec as P
             ax = tuple(mesh.axis_names)
             # slots shard over every mesh axis; weights broadcast; caches
             # shard on their slot dim (axis 1, after the layer dim)
-            xs, att_cache, cnn_cache = jax.shard_map(
-                stack_fn, mesh=mesh,
-                in_specs=(P(ax), P(ax), P(None, ax), P(None, ax), P(ax),
-                          P()),
-                out_specs=(P(ax), P(None, ax), P(None, ax)),
-                check_vma=False,
-            )(xs, pos_emb, att_cache, cnn_cache, cache_lens, packed)
+            if quant:
+                in_specs = (P(ax), P(ax), P(None, ax), P(None, ax),
+                            P(None, ax), P(ax), P())
+                out_specs = (P(ax), P(None, ax), P(None, ax), P(None, ax))
+                args = (xs, pos_emb, att_cache, att_scale, cnn_cache,
+                        cache_lens, packed)
+            else:
+                in_specs = (P(ax), P(ax), P(None, ax), P(None, ax), P(ax),
+                            P())
+                out_specs = (P(ax), P(None, ax), P(None, ax))
+                args = (xs, pos_emb, att_cache, cnn_cache, cache_lens,
+                        packed)
+            out = jax.shard_map(stack_fn, mesh=mesh, in_specs=in_specs,
+                                out_specs=out_specs, check_vma=False)(*args)
+        if quant:
+            xs, att_cache, att_scale, cnn_cache = out
+        else:
+            xs, att_cache, cnn_cache = out
         if self.normalize_before:
             xs = self.after_norm(xs)
+        if quant:
+            return xs, att_cache, att_scale, cnn_cache
         return xs, att_cache, cnn_cache
 
     def pack_chunk_params(self, tick=False):
@@ -530,16 +568,23 @@ class ConformerEncoder(nn.Module):
                               batch, self.dtype)
 
     def init_cache(self, batch=1, cache_size=None, chunk_size=16,
-                   num_left_chunks=16):
-        """Zeroed streaming cache pytree."""
+                   num_left_chunks=16, kv_int8=False):
+        """Zeroed streaming cache pytree. kv_int8=True lays the attention
+        cache out as int8 + per-row f32 scales for the quantized fused
+        chunk kernel (fused_chunk_layer_q8) — batched-engine only."""
         C = cache_size if cache_size is not None else chunk_size * num_left_chunks
         att = jnp.zeros((self.num_blocks, batch, self.attention_heads, C,
-                         2 * self.d_k), self.dtype)
+                         2 * self.d_k), jnp.int8 if kv_int8 else self.dtype)
         cnn = jnp.zeros((self.num_blocks, batch, max(self.lorder, 1),
                          self.output_size), self.dtype)
-        return {"att_cache": att, "cnn_cache": cnn,
-                "offset": jnp.zeros((), jnp.int32),
-                "cache_len": jnp.zeros((), jnp.int32)}
+        out = {"att_cache": att, "cnn_cache": cnn,
+               "offset": jnp.zeros((), jnp.int32),
+               "cache_len": jnp.zeros((), jnp.int32)}
+        if kv_int8:
+            out["att_scale"] = jnp.ones(
+                (self.num_blocks, batch, 2 * self.attention_heads, C),
+                jnp.float32)
+        return out
 
 
 class ConformerModel(nn.Module):
@@ -696,9 +741,15 @@ class ConformerModel(nn.Module):
         C = att.shape[4]
         att_l = att[:, :, 0].transpose(1, 0, 2, 3, 4)
         cnn_l = cnn[:, :, 0].transpose(1, 0, 2, 3)
-        ys, na, nc = self.encoder.forward_chunk_batched(
-            speech, state["offset"], att_l, cnn_l, state["cache_len"],
-            packed=packed)
+        sc = state.get("att_scale")         # (N, L, 1, 2·h, C) | absent
+        if sc is not None:
+            ys, na, ns, nc = self.encoder.forward_chunk_batched(
+                speech, state["offset"], att_l, cnn_l, state["cache_len"],
+                packed=packed, att_scale=sc[:, :, 0].transpose(1, 0, 2, 3))
+        else:
+            ys, na, nc = self.encoder.forward_chunk_batched(
+                speech, state["offset"], att_l, cnn_l, state["cache_len"],
+                packed=packed)
         chunk = ys.shape[1]
         new_state = {
             "att_cache": na.transpose(1, 0, 2, 3, 4)[:, :, None],
@@ -706,6 +757,8 @@ class ConformerModel(nn.Module):
             "offset": state["offset"] + chunk,
             "cache_len": jnp.minimum(state["cache_len"] + chunk, C),
         }
+        if sc is not None:
+            new_state["att_scale"] = ns.transpose(1, 0, 2, 3)[:, :, None]
         return self.ctc.softmax(ys), new_state
 
     def get_encoder_out_chunk_full(self, speech, state):

@@ -1,0 +1,73 @@
+"""A/B microbench: fused batched chunk step with bf16 vs int8 KV caches
+(ops/pallas/chunk_layer.py fused_chunk_layer vs fused_chunk_layer_q8) at
+the production serving shape, plus a multi-tick numeric-drift check.
+
+Run on real TPU:  python tools/bench_chunk_q8.py [B ...]
+"""
+import sys
+sys.path.insert(0, ".")
+
+import numpy as np  # noqa: E402
+
+import bench  # noqa: E402
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import masr_tpu
+    masr_tpu.enable_compilation_cache()
+
+    bs = [int(a) for a in sys.argv[1:]] or [32, 128]
+    model = bench.build("bf16")
+    variables = bench.init_vars(model)
+    ok = model.apply(variables, bench.CHUNK, bench.CHUNK * 16,
+                     method=type(model).chunk_fused_ok)
+    print(f"chunk_fused_ok: {ok}")
+
+    from masr_tpu.ops.pallas.chunk_layer import pick_chunk_block_b
+    for quant in (False, True):
+        blk = pick_chunk_block_b(bench.CHUNK, bench.CHUNK * 16, 256, 2048,
+                                 4, jnp.bfloat16, quant=quant)
+        print(f"block_b ({'int8' if quant else 'bf16'}): {blk}")
+
+    for B in bs:
+        t0, _ = bench.bench_stream_scan(model, variables, batch=B, K=200,
+                                        fused=True)
+        t8, _ = bench.bench_stream_scan(model, variables, batch=B, K=200,
+                                        fused=True, kv_int8=True)
+        rtf0 = B * bench.AUDIO_PER_CHUNK / t0
+        rtf8 = B * bench.AUDIO_PER_CHUNK / t8
+        print(f"B={B}: bf16 {t0 * 1e3:.2f} ms ({rtf0:.0f}x RT) | "
+              f"int8 {t8 * 1e3:.2f} ms ({rtf8:.0f}x RT) | "
+              f"speedup {t0 / t8:.2f}x")
+
+    # numeric drift over 30 chained ticks (distinct inputs per tick)
+    cache_size = bench.CHUNK * 16
+    tmpl0 = model.apply(variables, method=lambda m: m.encoder.init_cache(
+        batch=1, cache_size=cache_size))
+    tmpl8 = model.apply(variables, method=lambda m: m.encoder.init_cache(
+        batch=1, cache_size=cache_size, kv_int8=True))
+    N = 8
+    st0 = jax.tree.map(lambda x: jnp.stack([x] * N), tmpl0)
+    st8 = jax.tree.map(lambda x: jnp.stack([x] * N), tmpl8)
+    rs = np.random.RandomState(0)
+    step = jax.jit(lambda v, x, s: model.apply(
+        v, x, s, method=type(model).get_encoder_out_chunk_batched))
+    worst = 0.0
+    for i in range(30):
+        x = jnp.asarray(rs.standard_normal((N, 1, bench.WINDOW, bench.FEAT)),
+                        jnp.float32)
+        p0, st0 = step(variables, x, st0)
+        p8, st8 = step(variables, x, st8)
+        a0, a8 = np.asarray(p0, np.float32), np.asarray(p8, np.float32)
+        worst = max(worst, float(np.max(np.abs(a0 - a8))))
+        agree = float(np.mean(a0.argmax(-1) == a8.argmax(-1)))
+        if i in (0, 9, 29):
+            print(f"tick {i}: max |Δprob| {np.max(np.abs(a0 - a8)):.2e}, "
+                  f"argmax agreement {agree:.4f}")
+    print(f"worst |Δprob| over 30 ticks: {worst:.2e}")
+
+
+if __name__ == "__main__":
+    main()
