@@ -95,9 +95,13 @@ class BatchStreamSession(object):
                 use_tick = False
         self._use_chunk_tick = use_tick
         # weights packed ONCE for the fused kernel (repacking in-trace
-        # would cost ~60 MB of stacking traffic on every tick)
+        # would cost ~60 MB of stacking traffic on every tick); non-tick
+        # packs include the per-layer HBM position tables (in-kernel
+        # positions DMA — no per-tick sinusoid/einsum)
         self._packed_chunk = jax.device_put(model.apply(
-            variables, use_tick, method=type(model).pack_chunk_params)) \
+            variables, use_tick,
+            None if use_tick else self.ip.cache_size,
+            method=type(model).pack_chunk_params)) \
             if use_fused else None
 
         def encoder_step(variables, xs, states, active, packed):

@@ -429,7 +429,8 @@ class ConformerEncoder(nn.Module):
         → (ys (N, chunk, D), new_att_cache[, new_att_scale],
         new_cnn_cache)."""
         from masr_tpu.models.embedding import sinusoid_position_encoding
-        from masr_tpu.ops.pallas.chunk_layer import (fused_chunk_layer,
+        from masr_tpu.ops.pallas.chunk_layer import (clamp_pos_starts,
+                                                     fused_chunk_layer,
                                                      fused_chunk_layer_q8)
         if self.cmvn is not None:
             xs = self.cmvn(xs)
@@ -438,11 +439,6 @@ class ConformerEncoder(nn.Module):
         N, chunk = xs.shape[0], xs.shape[1]
         C = att_cache.shape[3]
         L = C + chunk
-        positions = jnp.maximum(
-            (offsets - C)[:, None] + jnp.arange(L)[None, :], 0)
-        pos_emb = sinusoid_position_encoding(
-            positions.reshape(-1), self.output_size,
-            self.dtype).reshape(N, L, self.output_size)
         if packed is None:
             packed = self.pack_chunk_params()
         l0 = self.encoders[0]
@@ -450,6 +446,19 @@ class ConformerEncoder(nn.Module):
         use_tick = isinstance(packed, dict)
         assert not (quant and use_tick), \
             "whole-tick megakernel has no int8-cache variant"
+        # packs with per-layer HBM position tables (pack_chunk_params
+        # called with cache_size) route the in-kernel positions DMA: no
+        # (N, L, D) sinusoid + per-layer posp einsum per tick at all
+        use_table = not use_tick and len(packed[0]) == 3
+        if use_table:
+            pos_or_starts = clamp_pos_starts(offsets,
+                                             packed[0][2].shape[0], L)
+        else:
+            positions = jnp.maximum(
+                (offsets - C)[:, None] + jnp.arange(L)[None, :], 0)
+            pos_or_starts = sinusoid_position_encoding(
+                positions.reshape(-1), self.output_size,
+                self.dtype).reshape(N, L, self.output_size)
         if use_tick:
             from masr_tpu.ops.pallas.chunk_tick import fused_chunk_tick
 
@@ -470,23 +479,29 @@ class ConformerEncoder(nn.Module):
                     ksize=self.cnn_module_kernel, ff_scale=l0.ff_scale)
             new_att, new_sc, new_cnn = [], [], []
             for i in range(len(self.encoders)):
-                p, wpos = packs[i]
-                # linear_pos as ONE batched einsum per layer — projecting
-                # per slot inside the kernel was the dominant per-tick
-                # cost (12 layers × N small serialized matmuls)
-                posp = jnp.einsum(
-                    "nld,de->nle", pe.astype(wpos.dtype), wpos,
-                    preferred_element_type=jnp.float32).astype(pe.dtype)
+                if use_table:
+                    posp, (p, _, ptab), starts = None, packs[i], pe
+                else:
+                    p, wpos = packs[i]
+                    ptab, starts = None, None
+                    # linear_pos as ONE batched einsum per layer —
+                    # projecting per slot inside the kernel was the
+                    # dominant per-tick cost (12 layers × N small
+                    # serialized matmuls)
+                    posp = jnp.einsum(
+                        "nld,de->nle", pe.astype(wpos.dtype), wpos,
+                        preferred_element_type=jnp.float32).astype(pe.dtype)
                 if quant:
                     x, a, s, cn = fused_chunk_layer_q8(
                         x, posp, att_c[i], sc_c[i], cnn_c[i], clens,
-                        p, n_head=self.attention_heads,
+                        p, ptab, starts, n_head=self.attention_heads,
                         ksize=self.cnn_module_kernel, ff_scale=l0.ff_scale)
                     new_sc.append(s)
                 else:
                     x, a, cn = fused_chunk_layer(
                         x, posp, att_c[i], cnn_c[i], clens,
-                        p, n_head=self.attention_heads,
+                        p, None, ptab, starts,
+                        n_head=self.attention_heads,
                         ksize=self.cnn_module_kernel, ff_scale=l0.ff_scale)
                 new_att.append(a)
                 new_cnn.append(cn)
@@ -497,9 +512,9 @@ class ConformerEncoder(nn.Module):
 
         ok, mesh = self._fused_mesh(N)
         if mesh is None:
-            out = stack_fn(*((xs, pos_emb, att_cache, att_scale, cnn_cache,
-                              cache_lens, packed) if quant else
-                             (xs, pos_emb, att_cache, cnn_cache,
+            out = stack_fn(*((xs, pos_or_starts, att_cache, att_scale,
+                              cnn_cache, cache_lens, packed) if quant else
+                             (xs, pos_or_starts, att_cache, cnn_cache,
                               cache_lens, packed)))
         else:
             from jax.sharding import PartitionSpec as P
@@ -510,13 +525,13 @@ class ConformerEncoder(nn.Module):
                 in_specs = (P(ax), P(ax), P(None, ax), P(None, ax),
                             P(None, ax), P(ax), P())
                 out_specs = (P(ax), P(None, ax), P(None, ax), P(None, ax))
-                args = (xs, pos_emb, att_cache, att_scale, cnn_cache,
+                args = (xs, pos_or_starts, att_cache, att_scale, cnn_cache,
                         cache_lens, packed)
             else:
                 in_specs = (P(ax), P(ax), P(None, ax), P(None, ax), P(ax),
                             P())
                 out_specs = (P(ax), P(None, ax), P(None, ax))
-                args = (xs, pos_emb, att_cache, cnn_cache, cache_lens,
+                args = (xs, pos_or_starts, att_cache, cnn_cache, cache_lens,
                         packed)
             out = jax.shard_map(stack_fn, mesh=mesh, in_specs=in_specs,
                                 out_specs=out_specs, check_vma=False)(*args)
@@ -530,18 +545,32 @@ class ConformerEncoder(nn.Module):
             return xs, att_cache, att_scale, cnn_cache
         return xs, att_cache, cnn_cache
 
-    def pack_chunk_params(self, tick=False):
+    def pack_chunk_params(self, tick=False, cache_size=None,
+                          pos_table_len=8192):
         """Packed weight pytree for the fused chunk kernels — computed
         ONCE at session init and passed through each tick (repacking
         in-trace costs ~60 MB of stacking HBM traffic per call at
         production size). tick=True returns the stacked layout for the
-        whole-tick megakernel (ops/pallas/chunk_tick.py)."""
+        whole-tick megakernel (ops/pallas/chunk_tick.py). cache_size
+        (non-tick) additionally bakes per-layer HBM position tables
+        (ops/pallas/chunk_layer.make_chunk_pos_table): the kernels then
+        DMA each slot's position window in place of the per-tick
+        (N, L, D) sinusoid + per-layer posp einsum. Sessions longer than
+        pos_table_len - cache_size - chunk frames clamp (positions
+        freeze) — the reference crashes at 5000 frames outright
+        (conformer/embedding.py:50,70)."""
         from masr_tpu.ops.pallas.conformer_layer import pack_layer_params
+        from masr_tpu.ops.pallas.chunk_layer import make_chunk_pos_table
         out = []
         for layer in self.encoders:
             p = pack_layer_params(layer.variables["params"], self.dtype)
             wpos = p.pop("linear_pos")
-            out.append((p, wpos))
+            if tick or cache_size is None:
+                out.append((p, wpos))
+            else:
+                ptab = make_chunk_pos_table(wpos, cache_size,
+                                            pos_table_len, self.dtype)
+                out.append((p, wpos, ptab))
         if tick:
             from masr_tpu.ops.pallas.chunk_tick import stack_tick_params
             stacked, wpos_stack = stack_tick_params(out)
@@ -716,11 +745,12 @@ class ConformerModel(nn.Module):
                 and self.encoder.fused_chunk_eligible(chunk, cache_size,
                                                       batch))
 
-    def pack_chunk_params(self, tick=False):
+    def pack_chunk_params(self, tick=False, cache_size=None):
         """→ packed weights for the fused chunk step (compute once at
         session init, pass to get_encoder_out_chunk_batched); tick=True
-        gives the whole-tick megakernel layout."""
-        return self.encoder.pack_chunk_params(tick)
+        gives the whole-tick megakernel layout; cache_size bakes the
+        per-layer HBM position tables (in-kernel positions DMA)."""
+        return self.encoder.pack_chunk_params(tick, cache_size=cache_size)
 
     def chunk_tick_ok(self, chunk, cache_size, batch):
         """Static check: can the batched chunk step run as ONE whole-tick

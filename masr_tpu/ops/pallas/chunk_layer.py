@@ -30,17 +30,41 @@ from jax.experimental.pallas import tpu as pltpu
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _kernel(clen_ref, x_ref, pp_ref, ac_ref, cc_ref, lnw_ref, ffw1_ref,
-            ffb1_ref, ffw2_ref, vecb_ref, attw_ref, posb_ref,
-            pw1w_ref, pw1b_ref, pw2w_ref, dww_ref,
-            y_ref, nac_ref, ncc_ref, qs_ref, ks_ref, vs_ref, *,
-            n_head, d_k, ksize, ff_scale, eps):
+def _kernel(*refs, n_head, d_k, ksize, ff_scale, eps, table=False):
+    if table:
+        # positions DMA'd per slot from an HBM-resident per-layer
+        # projected table (rows i = linear_pos(sinusoid(max(i - C, 0))) —
+        # row o+j IS the required position max(o-C+j, 0) for any o ≥ 0,
+        # so one contiguous window per slot is exact; see
+        # make_chunk_pos_table). Saves the per-tick sinusoid + per-layer
+        # posp einsum and its HBM round-trip.
+        (clen_ref, start_ref, x_ref, tab_ref, ac_ref, cc_ref, lnw_ref,
+         ffw1_ref, ffb1_ref, ffw2_ref, vecb_ref, attw_ref, posb_ref,
+         pw1w_ref, pw1b_ref, pw2w_ref, dww_ref,
+         y_ref, nac_ref, ncc_ref, qs_ref, ks_ref, vs_ref, pp_scr,
+         dma_sem) = refs
+    else:
+        (clen_ref, x_ref, pp_ref, ac_ref, cc_ref, lnw_ref, ffw1_ref,
+         ffb1_ref, ffw2_ref, vecb_ref, attw_ref, posb_ref,
+         pw1w_ref, pw1b_ref, pw2w_ref, dww_ref,
+         y_ref, nac_ref, ncc_ref, qs_ref, ks_ref, vs_ref) = refs
     g = pl.program_id(0)
     bs, c, D = x_ref.shape
     C = ac_ref.shape[2]
     L = C + c
     M = bs * c
     cdt = x_ref.dtype
+    dmas = []
+    if table:
+        # start all slots' position DMAs up front; the macaron FFN below
+        # overlaps the copies
+        for s in range(bs):
+            start = start_ref[g * bs + s]
+            dma = pltpu.make_async_copy(
+                tab_ref.at[pl.ds(start, L), :], pp_scr.at[s],
+                dma_sem.at[s])
+            dma.start()
+            dmas.append(dma)
     x = x_ref[...].reshape(M, D).astype(jnp.float32)
 
     def layer_norm(v, idx):
@@ -87,7 +111,11 @@ def _kernel(clen_ref, x_ref, pp_ref, ac_ref, cc_ref, lnw_ref, ffw1_ref,
         # caller as ONE batched einsum per layer — doing the (L, D)@(D, D)
         # matmul here per slot per layer was the dominant per-grid-step
         # cost: 12 layers × B small serialized matmuls per tick)
-        ph_full = pp_ref[s].astype(jnp.float32)
+        if table:
+            dmas[s].wait()
+            ph_full = pp_scr[s].astype(jnp.float32)
+        else:
+            ph_full = pp_ref[s].astype(jnp.float32)
         # build the head-stacked Q/K/V directly in scratch via STORES —
         # Mosaic rejects concats whose operands sit at different LANE
         # offsets (head h's column slice starts at lane h·d_k; the cache
@@ -162,11 +190,7 @@ def _kernel(clen_ref, x_ref, pp_ref, ac_ref, cc_ref, lnw_ref, ffw1_ref,
     y_ref[...] = layer_norm(x, 5).astype(y_ref.dtype).reshape(bs, c, D)
 
 
-def _kernel_q8(clen_ref, x_ref, pp_ref, ac_ref, sc_ref, cc_ref, lnw_ref,
-               ffw1_ref, ffb1_ref, ffw2_ref, vecb_ref, attw_ref, posb_ref,
-               pw1w_ref, pw1b_ref, pw2w_ref, dww_ref,
-               y_ref, nac_ref, nsc_ref, ncc_ref, qs_ref, ks_ref, vs_ref, *,
-               n_head, d_k, ksize, ff_scale, eps):
+def _kernel_q8(*refs, n_head, d_k, ksize, ff_scale, eps, table=False):
     """int8-KV-cache variant of _kernel: the rolled att cache is stored as
     int8 with per-row absmax scales (sc_ref: (bs, 2·h, C) f32 — rows
     0..h-1 key scales, h..2h-1 value scales; lane layout keeps the scale
@@ -174,13 +198,34 @@ def _kernel_q8(clen_ref, x_ref, pp_ref, ac_ref, sc_ref, cc_ref, lnw_ref,
     would pad to). Dequant/quant transposes between the lane-layout state
     and the (C, 1) sublane broadcasts go through eye-matmuls on the MXU —
     Mosaic-safe, ~0.5 M MACs/slot. Chunk-fresh K/V stay full precision in
-    the score/AV matmuls; only the persisted cache rows are quantized."""
+    the score/AV matmuls; only the persisted cache rows are quantized.
+    table=True additionally DMAs positions from an HBM table (_kernel)."""
+    if table:
+        (clen_ref, start_ref, x_ref, tab_ref, ac_ref, sc_ref, cc_ref,
+         lnw_ref, ffw1_ref, ffb1_ref, ffw2_ref, vecb_ref, attw_ref,
+         posb_ref, pw1w_ref, pw1b_ref, pw2w_ref, dww_ref,
+         y_ref, nac_ref, nsc_ref, ncc_ref, qs_ref, ks_ref, vs_ref, pp_scr,
+         dma_sem) = refs
+    else:
+        (clen_ref, x_ref, pp_ref, ac_ref, sc_ref, cc_ref, lnw_ref,
+         ffw1_ref, ffb1_ref, ffw2_ref, vecb_ref, attw_ref, posb_ref,
+         pw1w_ref, pw1b_ref, pw2w_ref, dww_ref,
+         y_ref, nac_ref, nsc_ref, ncc_ref, qs_ref, ks_ref, vs_ref) = refs
     g = pl.program_id(0)
     bs, c, D = x_ref.shape
     C = ac_ref.shape[2]
     L = C + c
     M = bs * c
     cdt = x_ref.dtype
+    dmas = []
+    if table:
+        for s in range(bs):
+            start = start_ref[g * bs + s]
+            dma = pltpu.make_async_copy(
+                tab_ref.at[pl.ds(start, L), :], pp_scr.at[s],
+                dma_sem.at[s])
+            dma.start()
+            dmas.append(dma)
     x = x_ref[...].reshape(M, D).astype(jnp.float32)
 
     def layer_norm(v, idx):
@@ -232,7 +277,11 @@ def _kernel_q8(clen_ref, x_ref, pp_ref, ac_ref, sc_ref, cc_ref, lnw_ref,
     for s in range(bs):
         rows = slice(s * c, (s + 1) * c)
         valid = clen_ref[g * bs + s]
-        ph_full = pp_ref[s].astype(jnp.float32)
+        if table:
+            dmas[s].wait()
+            ph_full = pp_scr[s].astype(jnp.float32)
+        else:
+            ph_full = pp_ref[s].astype(jnp.float32)
         # (2h, C) lane-layout scales → (C, 2h) sublane columns
         s_cols = transpose(sc_ref[s])                   # (C, 2h)
         for h in range(n_head):
@@ -347,13 +396,14 @@ def dequantize_kv_cache(q, scales):
 
 
 def chunk_layer_supported(c, C, D, F, n_head, dtype=jnp.bfloat16,
-                          quant=False):
+                          quant=False, table=False):
     """VMEM estimate at the default block_b."""
-    bs = pick_chunk_block_b(c, C, D, F, n_head, dtype, quant=quant)
+    bs = pick_chunk_block_b(c, C, D, F, n_head, dtype, quant=quant,
+                            table=table)
     return bs >= 1
 
 
-def _vmem(c, C, D, F, n_head, dtype, bs, quant=False):
+def _vmem(c, C, D, F, n_head, dtype, bs, quant=False, table=False):
     s = jnp.dtype(dtype).itemsize
     L = C + c
     weights = (4 * D * F + 7 * D * D + 2 * D * D) * s
@@ -361,35 +411,65 @@ def _vmem(c, C, D, F, n_head, dtype, bs, quant=False):
     caches = bs * n_head * C * 2 * (D // n_head) * cache_s * 2 * 2
     if quant:
         caches += bs * 2 * n_head * C * 4 * 2 * 2         # f32 scales
-    pe = bs * L * D * s * 2
+    # posp: double-buffered input block, or single-buffered DMA scratch
+    # when positions come from the HBM table
+    pe = bs * L * D * s * (1 if table else 2)
     att = n_head * c * n_head * L * 4 * 3     # stacked scores/attn + mask
     act = 8 * bs * c * D * 4 + bs * c * F * 4 * 2
     return weights + caches + pe + att + act
 
 
 def pick_chunk_block_b(c, C, D, F, n_head, dtype=jnp.bfloat16, max_bs=8,
-                       quant=False):
+                       quant=False, table=False):
     for bs in range(max_bs, 0, -1):
-        if _vmem(c, C, D, F, n_head, dtype, bs, quant) \
+        if _vmem(c, C, D, F, n_head, dtype, bs, quant, table) \
                 < int(13.5 * 1024 * 1024):
             return bs
     return 0
 
 
+def make_chunk_pos_table(wpos, C, table_len=8192, dtype=jnp.bfloat16):
+    """Per-layer HBM position table for the in-kernel positions DMA:
+    row i = linear_pos(sinusoid(max(i - C, 0))). For a slot at offset o,
+    rows [o, o + C + c) are EXACTLY the per-slot posp the einsum route
+    computes (positions max(o - C + j, 0)) for every o ≥ 0, so the kernel
+    fetches one contiguous window per slot instead of the engine
+    materializing (B, L, D) per layer per tick. Offsets beyond
+    table_len - (C + c) clamp (positions freeze) — the reference asserts
+    offset + size < 5000 and CRASHES there (conformer/embedding.py:50),
+    so an 8192-row table is strictly more capable."""
+    from masr_tpu.models.embedding import sinusoid_position_encoding
+    positions = jnp.maximum(jnp.arange(table_len) - C, 0)
+    pe = sinusoid_position_encoding(positions, wpos.shape[0], dtype)
+    return jnp.einsum("ld,de->le", pe.astype(wpos.dtype), wpos,
+                      preferred_element_type=jnp.float32).astype(dtype)
+
+
+def clamp_pos_starts(offsets, table_len, L):
+    """Per-slot DMA start rows into a make_chunk_pos_table table."""
+    return jnp.clip(offsets, 0, table_len - L).astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "n_head", "ksize", "ff_scale", "eps", "block_b", "interpret"))
 def fused_chunk_layer(x, posp, att_cache, cnn_cache, cache_lens, params,
-                      wpos=None, *, n_head, ksize, ff_scale=0.5, eps=1e-5,
-                      block_b=None, interpret=None):
+                      wpos=None, pos_table=None, starts=None, *, n_head,
+                      ksize, ff_scale=0.5, eps=1e-5, block_b=None,
+                      interpret=None):
     """x: (B, c, D) chunk after subsampling; posp: (B, C+c, D) per-slot
     PRE-projected positions — linear_pos(pos_emb), one batched einsum per
     layer in the caller (forward_chunk_batched); att_cache: (B, h, C,
     2·d_k) right-aligned; cnn_cache: (B, lorder, D); cache_lens: (B,)
     int32; params: pack_layer_params dict (without posp). `wpos` applies
     the projection here for callers that still pass raw pos_emb.
+    Alternatively pass pos_table (make_chunk_pos_table) + starts
+    (clamp_pos_starts) with posp=None: positions are then DMA'd per slot
+    from the HBM table inside the kernel — no per-tick (B, L, D)
+    materialization at all.
     → (y (B, c, D), new_att_cache, new_cnn_cache)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    table = pos_table is not None
     if wpos is not None:
         posp = jnp.einsum("nld,de->nle", posp.astype(wpos.dtype), wpos,
                           preferred_element_type=jnp.float32
@@ -397,12 +477,16 @@ def fused_chunk_layer(x, posp, att_cache, cnn_cache, cache_lens, params,
     B, c, D = x.shape
     C = att_cache.shape[2]
     F = params["ffw1"].shape[2]
-    bs = block_b or pick_chunk_block_b(c, C, D, F, n_head, x.dtype)
+    bs = block_b or pick_chunk_block_b(c, C, D, F, n_head, x.dtype,
+                                       table=table)
     bs = max(1, min(bs, B))
     pad_b = (-B) % bs
     if pad_b:
         x = jnp.pad(x, ((0, pad_b), (0, 0), (0, 0)))
-        posp = jnp.pad(posp, ((0, pad_b), (0, 0), (0, 0)))
+        if table:
+            starts = jnp.pad(starts, (0, pad_b))
+        else:
+            posp = jnp.pad(posp, ((0, pad_b), (0, 0), (0, 0)))
         att_cache = jnp.pad(att_cache, ((0, pad_b),) + ((0, 0),) * 3)
         cnn_cache = jnp.pad(cnn_cache, ((0, pad_b), (0, 0), (0, 0)))
         cache_lens = jnp.pad(cache_lens, (0, pad_b))
@@ -412,18 +496,26 @@ def fused_chunk_layer(x, posp, att_cache, cnn_cache, cache_lens, params,
     const = lambda shape: pl.BlockSpec(shape, lambda b, *_: (0,) * len(shape))
     bspec = lambda shape: pl.BlockSpec(
         shape, lambda b, *_: (b,) + (0,) * (len(shape) - 1))
+    pos_spec = [pl.BlockSpec(memory_space=pl.ANY)] if table \
+        else [bspec((bs, L, D))]
+    scalars = (cache_lens.astype(jnp.int32),) + (
+        (starts.astype(jnp.int32),) if table else ())
+    pos_args = (pos_table,) if table else (posp,)
+    extra_scratch = [pltpu.VMEM((bs, L, D), pos_table.dtype),
+                     pltpu.SemaphoreType.DMA((bs,))] if table else []
     y, nac, ncc = pl.pallas_call(
         functools.partial(_kernel, n_head=n_head, d_k=D // n_head,
-                          ksize=ksize, ff_scale=ff_scale, eps=eps),
+                          ksize=ksize, ff_scale=ff_scale, eps=eps,
+                          table=table),
         out_shape=(jax.ShapeDtypeStruct((Bp, c, D), x.dtype),
                    jax.ShapeDtypeStruct(att_cache.shape, att_cache.dtype),
                    jax.ShapeDtypeStruct(cnn_cache.shape, cnn_cache.dtype)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2 if table else 1,
             grid=(Bp // bs,),
             in_specs=[
                 bspec((bs, c, D)),                    # x
-                bspec((bs, L, D)),                    # posp
+            ] + pos_spec + [                          # posp | pos table
                 bspec((bs, n_head, C, 2 * (D // n_head))),   # att cache
                 bspec((bs, lorder, D)),               # cnn cache
                 const((6, 2, D)),                     # lnw
@@ -445,12 +537,12 @@ def fused_chunk_layer(x, posp, att_cache, cnn_cache, cache_lens, params,
                 pltpu.VMEM((n_head * c, 2 * (D // n_head)), jnp.float32),
                 pltpu.VMEM((n_head * L, 2 * (D // n_head)), jnp.float32),
                 pltpu.VMEM((n_head * L, D // n_head), jnp.float32),
-            ],
+            ] + extra_scratch,
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         interpret=interpret,
-    )(cache_lens.astype(jnp.int32), x, posp, att_cache, cnn_cache,
+    )(*scalars, x, *pos_args, att_cache, cnn_cache,
       params["lnw"], params["ffw1"], params["ffb1"], params["ffw2"],
       params["vecb"], params["attw"], params["posb"],
       params["pw1w"], params["pw1b"], params["pw2w"], params["dww"])
@@ -462,26 +554,32 @@ def fused_chunk_layer(x, posp, att_cache, cnn_cache, cache_lens, params,
 @functools.partial(jax.jit, static_argnames=(
     "n_head", "ksize", "ff_scale", "eps", "block_b", "interpret"))
 def fused_chunk_layer_q8(x, posp, att_cache, att_scale, cnn_cache,
-                         cache_lens, params, *, n_head, ksize, ff_scale=0.5,
+                         cache_lens, params, pos_table=None, starts=None,
+                         *, n_head, ksize, ff_scale=0.5,
                          eps=1e-5, block_b=None, interpret=None):
     """int8-KV-cache variant of fused_chunk_layer. att_cache: (B, h, C,
     2·d_k) int8; att_scale: (B, 2·h, C) f32 per-row absmax scales (k rows
     0..h-1, v rows h..2h-1). Halving the cache bytes roughly halves the
     per-grid-step DMA that bounds the tick (docs/streaming_roofline.md)
-    and frees VMEM for a bigger slot block.
+    and frees VMEM for a bigger slot block. pos_table/starts as in
+    fused_chunk_layer (in-kernel positions DMA, posp=None).
     → (y, new_att_cache int8, new_att_scale, new_cnn_cache)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    table = pos_table is not None
     B, c, D = x.shape
     C = att_cache.shape[2]
     F = params["ffw1"].shape[2]
     bs = block_b or pick_chunk_block_b(c, C, D, F, n_head, x.dtype,
-                                       quant=True)
+                                       quant=True, table=table)
     bs = max(1, min(bs, B))
     pad_b = (-B) % bs
     if pad_b:
         x = jnp.pad(x, ((0, pad_b), (0, 0), (0, 0)))
-        posp = jnp.pad(posp, ((0, pad_b), (0, 0), (0, 0)))
+        if table:
+            starts = jnp.pad(starts, (0, pad_b))
+        else:
+            posp = jnp.pad(posp, ((0, pad_b), (0, 0), (0, 0)))
         att_cache = jnp.pad(att_cache, ((0, pad_b),) + ((0, 0),) * 3)
         att_scale = jnp.pad(att_scale, ((0, pad_b), (0, 0), (0, 0)),
                             constant_values=1.0)
@@ -493,19 +591,27 @@ def fused_chunk_layer_q8(x, posp, att_cache, att_scale, cnn_cache,
     const = lambda shape: pl.BlockSpec(shape, lambda b, *_: (0,) * len(shape))
     bspec = lambda shape: pl.BlockSpec(
         shape, lambda b, *_: (b,) + (0,) * (len(shape) - 1))
+    pos_spec = [pl.BlockSpec(memory_space=pl.ANY)] if table \
+        else [bspec((bs, L, D))]
+    scalars = (cache_lens.astype(jnp.int32),) + (
+        (starts.astype(jnp.int32),) if table else ())
+    pos_args = (pos_table,) if table else (posp,)
+    extra_scratch = [pltpu.VMEM((bs, L, D), pos_table.dtype),
+                     pltpu.SemaphoreType.DMA((bs,))] if table else []
     y, nac, nsc, ncc = pl.pallas_call(
         functools.partial(_kernel_q8, n_head=n_head, d_k=D // n_head,
-                          ksize=ksize, ff_scale=ff_scale, eps=eps),
+                          ksize=ksize, ff_scale=ff_scale, eps=eps,
+                          table=table),
         out_shape=(jax.ShapeDtypeStruct((Bp, c, D), x.dtype),
                    jax.ShapeDtypeStruct(att_cache.shape, jnp.int8),
                    jax.ShapeDtypeStruct(att_scale.shape, jnp.float32),
                    jax.ShapeDtypeStruct(cnn_cache.shape, cnn_cache.dtype)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2 if table else 1,
             grid=(Bp // bs,),
             in_specs=[
                 bspec((bs, c, D)),                    # x
-                bspec((bs, L, D)),                    # posp
+            ] + pos_spec + [                          # posp | pos table
                 bspec((bs, n_head, C, 2 * (D // n_head))),   # att cache q8
                 bspec((bs, 2 * n_head, C)),           # att scales
                 bspec((bs, lorder, D)),               # cnn cache
@@ -529,12 +635,12 @@ def fused_chunk_layer_q8(x, posp, att_cache, att_scale, cnn_cache,
                 pltpu.VMEM((n_head * c, 2 * (D // n_head)), jnp.float32),
                 pltpu.VMEM((n_head * L, 2 * (D // n_head)), jnp.float32),
                 pltpu.VMEM((n_head * L, D // n_head), jnp.float32),
-            ],
+            ] + extra_scratch,
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         interpret=interpret,
-    )(cache_lens.astype(jnp.int32), x, posp, att_cache,
+    )(*scalars, x, *pos_args, att_cache,
       att_scale.astype(jnp.float32), cnn_cache,
       params["lnw"], params["ffw1"], params["ffb1"], params["ffw2"],
       params["vecb"], params["attw"], params["posb"],
