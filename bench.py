@@ -341,6 +341,18 @@ def main():
             f"{', fused chunk step' if use_fused_chunk else ''}): "
             f"{per_step * 1e3:.2f} ms/step, "
             f"{streams_rtf:.0f}x realtime/chip, MFU {serving[B]['mfu']}")
+    # int8 KV caches (engine kv_cache='int8'): half the cache DMA that
+    # bounds the tick (docs/streaming_roofline.md)
+    serving_q8 = {}
+    if use_fused_chunk:
+        for B in (32, 128):
+            per_step, _ = bench_stream_scan(model_bf16, vars_bf16, batch=B,
+                                            K=200, fused=True, kv_int8=True)
+            streams_rtf = B * AUDIO_PER_CHUNK / per_step
+            serving_q8[B] = dict(ms=per_step * 1e3, rtf=streams_rtf)
+            log(f"batched streaming B={B} (int8 KV cache): "
+                f"{per_step * 1e3:.2f} ms/step, "
+                f"{streams_rtf:.0f}x realtime/chip")
 
     # batched full-context encode (serving `predict`), bf16: fused
     # whole-layer Pallas kernel (the default) vs the XLA path vs flash
@@ -459,6 +471,10 @@ def main():
         "serving_b32_mfu": serving[32]["mfu"],
         "serving_b128_rtf": round(serving[128]["rtf"], 1),
         "serving_b128_mfu": serving[128]["mfu"],
+        "serving_b32_int8_rtf":
+            round(serving_q8[32]["rtf"], 1) if serving_q8 else None,
+        "serving_b128_int8_rtf":
+            round(serving_q8[128]["rtf"], 1) if serving_q8 else None,
         "full_context_b32_rtf_xla":
             round(full["xla"]["rtf"], 1) if full["xla"]["rtf"] else None,
         "full_context_b32_rtf_fused":
