@@ -97,11 +97,18 @@ def bench_stream_scan(model, variables, batch, K, fused=False,
     import jax
     import jax.numpy as jnp
     cache_size = CHUNK * 16
+    packed = None
     if fused:
         tmpl = model.apply(variables, method=lambda m: m.encoder.init_cache(
             batch=1, cache_size=cache_size, kv_int8=kv_int8))
         state = jax.tree.map(lambda x: jnp.stack([x] * batch), tmpl)
         method = type(model).get_encoder_out_chunk_batched
+        # pack ONCE with the per-layer position tables, exactly like the
+        # serving engine (batch_stream.py) — repacking in-trace costs
+        # ~60 MB of stacking traffic per tick
+        packed = jax.device_put(model.apply(
+            variables, False, cache_size,
+            method=type(model).pack_chunk_params))
     else:
         state = model.apply(variables, method=lambda m: m.encoder.init_cache(
             batch=batch, cache_size=cache_size))
@@ -112,7 +119,11 @@ def bench_stream_scan(model, variables, batch, K, fused=False,
     @jax.jit
     def stream(variables, xs, state):
         def body(st, x):
-            probs, st = model.apply(variables, x, st, method=method)
+            if fused:
+                probs, st = model.apply(variables, x, st, packed,
+                                        method=method)
+            else:
+                probs, st = model.apply(variables, x, st, method=method)
             return st, jnp.sum(probs.astype(jnp.float32))
         st, out = jax.lax.scan(body, state, xs)
         return st, jnp.sum(out)
