@@ -86,7 +86,7 @@ def init_vars(model):
 
 
 def bench_stream_scan(model, variables, batch, K, fused=False,
-                      kv_int8=False):
+                      kv_int8=False, pos_tables=True):
     """Scanned chunk stream: K distinct steps in one dispatch →
     (per_step_s, flops_per_step). fused=True uses the batched fused
     chunk step (ops/pallas/chunk_layer.py) — the path the batched
@@ -107,7 +107,7 @@ def bench_stream_scan(model, variables, batch, K, fused=False,
         # serving engine (batch_stream.py) — repacking in-trace costs
         # ~60 MB of stacking traffic per tick
         packed = jax.device_put(model.apply(
-            variables, False, cache_size,
+            variables, False, cache_size if pos_tables else None,
             method=type(model).pack_chunk_params))
     else:
         state = model.apply(variables, method=lambda m: m.encoder.init_cache(
@@ -342,8 +342,17 @@ def main():
         pass
     serving = {}
     for B in (32, 128):
-        per_step, flops = bench_stream_scan(model_bf16, vars_bf16, batch=B,
-                                            K=200, fused=use_fused_chunk)
+        per_step = flops = None
+        for attempt in ((dict(fused=True, pos_tables=True),
+                         dict(fused=True, pos_tables=False),
+                         dict(fused=False)) if use_fused_chunk
+                        else (dict(fused=False),)):
+            try:
+                per_step, flops = bench_stream_scan(
+                    model_bf16, vars_bf16, batch=B, K=200, **attempt)
+                break
+            except Exception as e:
+                log(f"serving B={B} {attempt} failed: {e}")
         streams_rtf = B * AUDIO_PER_CHUNK / per_step
         serving[B] = dict(ms=per_step * 1e3,
                           rtf=streams_rtf,
@@ -357,8 +366,13 @@ def main():
     serving_q8 = {}
     if use_fused_chunk:
         for B in (32, 128):
-            per_step, _ = bench_stream_scan(model_bf16, vars_bf16, batch=B,
-                                            K=200, fused=True, kv_int8=True)
+            try:
+                per_step, _ = bench_stream_scan(model_bf16, vars_bf16,
+                                                batch=B, K=200, fused=True,
+                                                kv_int8=True)
+            except Exception as e:
+                log(f"int8 KV serving B={B} unavailable: {e}")
+                break
             streams_rtf = B * AUDIO_PER_CHUNK / per_step
             serving_q8[B] = dict(ms=per_step * 1e3, rtf=streams_rtf)
             log(f"batched streaming B={B} (int8 KV cache): "
@@ -483,9 +497,9 @@ def main():
         "serving_b128_rtf": round(serving[128]["rtf"], 1),
         "serving_b128_mfu": serving[128]["mfu"],
         "serving_b32_int8_rtf":
-            round(serving_q8[32]["rtf"], 1) if serving_q8 else None,
+            round(serving_q8[32]["rtf"], 1) if 32 in serving_q8 else None,
         "serving_b128_int8_rtf":
-            round(serving_q8[128]["rtf"], 1) if serving_q8 else None,
+            round(serving_q8[128]["rtf"], 1) if 128 in serving_q8 else None,
         "full_context_b32_rtf_xla":
             round(full["xla"]["rtf"], 1) if full["xla"]["rtf"] else None,
         "full_context_b32_rtf_fused":

@@ -32,15 +32,22 @@ def main():
         print(f"block_b ({'int8' if quant else 'bf16'}): {blk}")
 
     for B in bs:
-        t0, _ = bench.bench_stream_scan(model, variables, batch=B, K=200,
-                                        fused=True)
-        t8, _ = bench.bench_stream_scan(model, variables, batch=B, K=200,
-                                        fused=True, kv_int8=True)
-        rtf0 = B * bench.AUDIO_PER_CHUNK / t0
-        rtf8 = B * bench.AUDIO_PER_CHUNK / t8
-        print(f"B={B}: bf16 {t0 * 1e3:.2f} ms ({rtf0:.0f}x RT) | "
-              f"int8 {t8 * 1e3:.2f} ms ({rtf8:.0f}x RT) | "
-              f"speedup {t0 / t8:.2f}x")
+        res = {}
+        for name, kw in (("bf16/posp", dict(pos_tables=False)),
+                         ("bf16/table", dict(pos_tables=True)),
+                         ("int8/table", dict(pos_tables=True,
+                                             kv_int8=True))):
+            try:
+                t, _ = bench.bench_stream_scan(model, variables, batch=B,
+                                               K=200, fused=True, **kw)
+                res[name] = t
+                rtf = B * bench.AUDIO_PER_CHUNK / t
+                print(f"B={B} {name}: {t * 1e3:.2f} ms ({rtf:.0f}x RT)")
+            except Exception as e:
+                print(f"B={B} {name}: FAILED — {e}")
+        if "bf16/posp" in res and "int8/table" in res:
+            print(f"B={B}: total speedup "
+                  f"{res['bf16/posp'] / res['int8/table']:.2f}x")
 
     # numeric drift over 30 chained ticks (distinct inputs per tick)
     cache_size = bench.CHUNK * 16
