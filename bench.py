@@ -86,14 +86,17 @@ def init_vars(model):
 
 
 def bench_stream_scan(model, variables, batch, K, fused=False,
-                      kv_int8=False, pos_tables=True):
+                      kv_int8=False, pos_tables=True, tick_k=1):
     """Scanned chunk stream: K distinct steps in one dispatch →
     (per_step_s, flops_per_step). fused=True uses the batched fused
     chunk step (ops/pallas/chunk_layer.py) — the path the batched
     serving engine routes on TPU; it additionally supports per-slot
     offsets/validity (batch_stream.py). kv_int8=True benches the
     per-row-quantized attention cache (fused_chunk_layer_q8 — halves
-    the cache DMA that bounds the tick, docs/streaming_roofline.md)."""
+    the cache DMA that bounds the tick, docs/streaming_roofline.md).
+    tick_k>1 benches MULTI-CHUNK ticks (k buffered windows per slot per
+    dispatch, block-causal sub-chunk mask — engine tick_chunks knob):
+    each step then covers k× the audio."""
     import jax
     import jax.numpy as jnp
     cache_size = CHUNK * 16
@@ -113,8 +116,11 @@ def bench_stream_scan(model, variables, batch, K, fused=False,
         state = model.apply(variables, method=lambda m: m.encoder.init_cache(
             batch=batch, cache_size=cache_size))
         method = type(model).get_encoder_out_chunk
+    assert tick_k == 1 or fused, "multi-chunk ticks need the fused path"
+    xshape = (K, batch, tick_k, WINDOW, FEAT) if tick_k > 1 \
+        else (K, batch, WINDOW, FEAT)
     xs = jnp.asarray(np.random.RandomState(batch).standard_normal(
-        (K, batch, WINDOW, FEAT)), jnp.float32)
+        xshape), jnp.float32)
 
     @jax.jit
     def stream(variables, xs, state):
@@ -378,6 +384,33 @@ def main():
             log(f"batched streaming B={B} (int8 KV cache): "
                 f"{per_step * 1e3:.2f} ms/step, "
                 f"{streams_rtf:.0f}x realtime/chip")
+    # multi-chunk ticks (engine tick_chunks=k): k buffered windows per
+    # slot in ONE dispatch — amortizes the per-tick cache/weight DMA
+    # that bounds the per-chunk step (docs/streaming_roofline.md)
+    serving_multi = {}
+    if use_fused_chunk:
+        TICK_K = 4
+        multi_ok = False
+        try:
+            multi_ok = bool(model_bf16.apply(
+                vars_bf16, CHUNK * TICK_K, CHUNK * 16,
+                method=type(model_bf16).chunk_fused_ok))
+        except Exception:
+            pass
+        for B in ((32, 128) if multi_ok else ()):
+            try:
+                per_step, _ = bench_stream_scan(model_bf16, vars_bf16,
+                                                batch=B, K=64, fused=True,
+                                                tick_k=TICK_K)
+            except Exception as e:
+                log(f"multi-chunk serving B={B} unavailable: {e}")
+                break
+            streams_rtf = B * TICK_K * AUDIO_PER_CHUNK / per_step
+            serving_multi[B] = dict(ms=per_step * 1e3, rtf=streams_rtf,
+                                    k=TICK_K)
+            log(f"batched streaming B={B} (multi-chunk tick k={TICK_K}): "
+                f"{per_step * 1e3:.2f} ms/step ({TICK_K} chunks), "
+                f"{streams_rtf:.0f}x realtime/chip")
 
     # batched full-context encode (serving `predict`), bf16: fused
     # whole-layer Pallas kernel (the default) vs the XLA path vs flash
@@ -500,6 +533,12 @@ def main():
             round(serving_q8[32]["rtf"], 1) if 32 in serving_q8 else None,
         "serving_b128_int8_rtf":
             round(serving_q8[128]["rtf"], 1) if 128 in serving_q8 else None,
+        "serving_b32_k4_rtf":
+            round(serving_multi[32]["rtf"], 1)
+            if 32 in serving_multi else None,
+        "serving_b128_k4_rtf":
+            round(serving_multi[128]["rtf"], 1)
+            if 128 in serving_multi else None,
         "full_context_b32_rtf_xla":
             round(full["xla"]["rtf"], 1) if full["xla"]["rtf"] else None,
         "full_context_b32_rtf_fused":

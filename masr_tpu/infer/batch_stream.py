@@ -29,14 +29,23 @@ from masr_tpu.infer.predictor import (CACHED_FEATURE_NUM, CONTEXT,
 class BatchStreamSession(object):
     def __init__(self, inference_predictor, vocab_list, preprocess_conf=None,
                  max_streams=8, decoder="ctc_greedy", decoder_conf=None,
-                 kv_cache="bf16"):
+                 kv_cache="bf16", tick_chunks=1):
         """decoder: 'ctc_greedy' (fused argmax head, per-slot host carry)
         or 'ctc_beam_search_device' (ALL slots' prefix beam search inside
         the tick program, incl. optional dense-bigram LM fusion).
         kv_cache: 'bf16' (exact) or 'int8' (per-row-quantized attention
         caches — ~half the cache DMA that bounds the tick, bigger slot
         blocks; needs the fused chunk path, falls back to bf16 without
-        it. docs/streaming_roofline.md)."""
+        it. docs/streaming_roofline.md).
+        tick_chunks=k>1: MULTI-CHUNK TICKS — when a slot has k full
+        windows buffered, they run in ONE dispatch with a block-causal
+        sub-chunk mask (bit-equivalent to k single ticks, bf16), paying
+        the per-tick cache/weight DMA once instead of k times. A
+        throughput knob for bulk transcription: it adds up to
+        (k-1)·640 ms of buffering latency before the first partial.
+        Needs the fused chunk path and k·chunk ≤ cache_size; falls back
+        to 1 otherwise. Slots with fewer than k buffered windows (stream
+        tails) advance through the normal single-chunk step."""
         self.ip = inference_predictor
         self.N = max_streams
         self.vocab_list = vocab_list
@@ -66,6 +75,19 @@ class BatchStreamSession(object):
         kv_int8 = kv_cache == "int8" and use_fused \
             and self.ip.use_model != "deepspeech2"
         self.kv_cache = "int8" if kv_int8 else "bf16"
+        # multi-chunk ticks: eligibility re-checked at the combined chunk
+        # size (k·CH must fit the cache and the kernel's VMEM budget)
+        self.tick_k = 1
+        if tick_chunks > 1 and use_fused:
+            try:
+                ok = bool(model.apply(
+                    variables, DECODING_CHUNK_SIZE * int(tick_chunks),
+                    self.ip.cache_size, max_streams,
+                    method=type(model).chunk_fused_ok))
+            except Exception:
+                ok = False
+            if ok:
+                self.tick_k = int(tick_chunks)
         if self.ip.use_model == "deepspeech2":
             template = model.apply(variables,
                                    method=lambda m: m.init_cache(batch=1))
@@ -85,8 +107,8 @@ class BatchStreamSession(object):
         # launch/DMA-floor-bound, ops/pallas/chunk_tick.py); no int8
         # variant exists, so the quantized cache keeps the per-layer path
         use_tick = False
-        if use_fused and not kv_int8 and hasattr(type(model),
-                                                 "chunk_tick_ok"):
+        if use_fused and not kv_int8 and self.tick_k == 1 \
+                and hasattr(type(model), "chunk_tick_ok"):
             try:
                 use_tick = bool(model.apply(
                     variables, DECODING_CHUNK_SIZE, self.ip.cache_size,
@@ -106,8 +128,11 @@ class BatchStreamSession(object):
 
         def encoder_step(variables, xs, states, active, packed):
             if use_fused:
+                # (N, 1, W, F) single tick → (N, W, F); (N, k, W, F)
+                # multi-chunk tick stays 4-D (block-causal sub-chunks)
+                inp = xs[:, 0] if xs.shape[1] == 1 else xs
                 probs, new_states = model.apply(
-                    variables, xs[:, 0], states, packed,
+                    variables, inp, states, packed,
                     method=type(model).get_encoder_out_chunk_batched)
             else:
                 probs4, new_states = vstep(variables, xs, states)
@@ -198,21 +223,20 @@ class BatchStreamSession(object):
 
     def _run_round(self, xs, active, valids):
         """One fused tick: encoder (+ decode head) for the active slots.
-        valids: {slot: valid INPUT frames} → {slot: (score, text)}."""
+        xs: (N, k, DECODING_WINDOW, feat) — k=1 single tick, k=tick_k
+        multi-chunk tick. valids: {slot: valid OUTPUT frames this tick}
+        → {slot: (score, text)}."""
         out = {}
         if self._dec_state is not None:
-            fv = np.zeros((self.N, DECODING_CHUNK_SIZE), bool)
-            emitted = {}
-            for slot, end in valids.items():
-                n = max(_subsampled_len(end), 0)
-                emitted[slot] = n
+            fv = np.zeros((self.N, xs.shape[1] * DECODING_CHUNK_SIZE), bool)
+            for slot, n in valids.items():
                 fv[slot, :n] = True
             best, self.states, self._dec_state = self._step_beam(
                 self.ip.variables, jnp.asarray(xs), self.states,
                 self._dec_state, jnp.asarray(active), jnp.asarray(fv),
                 self._packed_chunk)
             tokens, lengths, scores = (np.asarray(x) for x in best)
-            for slot, n in emitted.items():
+            for slot, n in valids.items():
                 if n:
                     ids = tokens[slot][: int(lengths[slot])].tolist()
                     out[slot] = (float(scores[slot]), self._ids_to_text(ids))
@@ -221,8 +245,8 @@ class BatchStreamSession(object):
             self.ip.variables, jnp.asarray(xs), self.states,
             jnp.asarray(active), self._packed_chunk)
         ids, maxp = np.asarray(ids), np.asarray(maxp)
-        for slot, end in valids.items():
-            n = min(max(_subsampled_len(end), 0), ids.shape[1])
+        for slot, n in valids.items():
+            n = min(n, ids.shape[1])
             if n:
                 out[slot] = self._decoders[slot].decode_chunk_ids(
                     ids[slot, :n], maxp[slot, :n])
@@ -251,9 +275,19 @@ class BatchStreamSession(object):
         left = CONTEXT if is_end else DECODING_WINDOW
         result = None
         end = None
+        windows = []
         for cur in range(0, num_frames - left + 1, STRIDE):
             end = min(cur + DECODING_WINDOW, num_frames)
-            window = self._cached_feat[slot][cur:end]
+            windows.append(self._cached_feat[slot][cur:end])
+        idx = 0
+        k = self.tick_k
+        # full windows group into multi-chunk ticks; the (possibly short)
+        # tail and partial groups take the single-chunk step
+        while k > 1 and len(windows) - idx >= k \
+                and windows[idx + k - 1].shape[0] == DECODING_WINDOW:
+            result = self._advance_multi(slot, windows[idx:idx + k])
+            idx += k
+        for window in windows[idx:]:
             result = self._advance(slot, window)
         if end is not None:
             self._cached_feat[slot] = \
@@ -270,7 +304,25 @@ class BatchStreamSession(object):
         xs[slot, 0] = window
         active = np.zeros((self.N,), bool)
         active[slot] = True
-        decoded = self._run_round(xs, active, {slot: valid_len})
+        decoded = self._run_round(
+            xs, active, {slot: max(_subsampled_len(valid_len), 0)})
+        if slot not in decoded:
+            return None
+        score, text = decoded[slot]
+        return {"text": text, "score": score}
+
+    def _advance_multi(self, slot, windows):
+        """One multi-chunk tick for a single slot: len(windows) == tick_k
+        FULL windows → k·CH valid output frames."""
+        k = len(windows)
+        feat_dim = windows[0].shape[1]
+        xs = np.zeros((self.N, k, DECODING_WINDOW, feat_dim), np.float32)
+        for j, w in enumerate(windows):
+            xs[slot, j] = w
+        active = np.zeros((self.N,), bool)
+        active[slot] = True
+        decoded = self._run_round(xs, active,
+                                  {slot: k * DECODING_CHUNK_SIZE})
         if slot not in decoded:
             return None
         score, text = decoded[slot]
@@ -299,6 +351,31 @@ class BatchStreamSession(object):
                 ready[slot] = is_end
             results[slot] = None
         feat_dim = self._featurizer.feature_dim
+        if self.tick_k > 1:
+            # multi-chunk rounds first: every slot with tick_k full
+            # windows buffered advances k chunks in ONE dispatch
+            k = self.tick_k
+            need = DECODING_WINDOW + (k - 1) * STRIDE
+            while True:
+                group = [s for s in ready
+                         if self._cached_feat[s].shape[0] >= need]
+                if not group:
+                    break
+                xs = np.zeros((self.N, k, DECODING_WINDOW, feat_dim),
+                              np.float32)
+                active = np.zeros((self.N,), bool)
+                valids = {}
+                for slot in group:
+                    for j in range(k):
+                        xs[slot, j] = self._cached_feat[slot][
+                            j * STRIDE:j * STRIDE + DECODING_WINDOW]
+                    active[slot] = True
+                    valids[slot] = k * DECODING_CHUNK_SIZE
+                    self._cached_feat[slot] = \
+                        self._cached_feat[slot][k * STRIDE:]
+                for slot, (score, text) in self._run_round(
+                        xs, active, valids).items():
+                    results[slot] = {"text": text, "score": score}
         while ready:
             xs = np.zeros((self.N, 1, DECODING_WINDOW, feat_dim), np.float32)
             active = np.zeros((self.N,), bool)
@@ -316,7 +393,7 @@ class BatchStreamSession(object):
                                     ((0, DECODING_WINDOW - end), (0, 0)))
                 xs[slot, 0] = window
                 active[slot] = True
-                valids[slot] = end
+                valids[slot] = max(_subsampled_len(end), 0)
                 # consume one stride; keep the feature-context tail
                 self._cached_feat[slot] = self._cached_feat[slot][
                     min(STRIDE, end - CACHED_FEATURE_NUM):]

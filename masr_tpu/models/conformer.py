@@ -426,16 +426,31 @@ class ConformerEncoder(nn.Module):
         is int8 with per-row scales and the tick runs the quantized
         kernel (fused_chunk_layer_q8: half the cache DMA, bigger slot
         blocks — docs/streaming_roofline.md).
-        → (ys (N, chunk, D), new_att_cache[, new_att_scale],
+        MULTI-CHUNK TICK: xs may be (N, k, T_in, input_size) — k buffered
+        standard windows per slot, processed in ONE dispatch with a
+        block-causal sub-chunk mask; bit-equivalent to k sequential calls
+        (q8: within quantization noise — the fresh sub-chunk K/V stay
+        full-precision here where sequential steps re-read them
+        quantized) while paying the per-tick cache/weight DMA once.
+        → (ys (N, chunk[·k], D), new_att_cache[, new_att_scale],
         new_cnn_cache)."""
         from masr_tpu.models.embedding import sinusoid_position_encoding
         from masr_tpu.ops.pallas.chunk_layer import (clamp_pos_starts,
                                                      fused_chunk_layer,
                                                      fused_chunk_layer_q8)
+        n_sub = 1
+        if xs.ndim == 4:
+            n_sub = xs.shape[1]
+            xs = xs.reshape((xs.shape[0] * n_sub,) + xs.shape[2:])
         if self.cmvn is not None:
             xs = self.cmvn(xs)
         xs = xs.astype(self.dtype)
+        # each sub-chunk embeds standalone (the raw windows overlap by the
+        # subsampling context, exactly as sequential steps feed them)
         xs, _, _ = self.embed(xs, None, 0, False)   # offset-free (rel_pos)
+        if n_sub > 1:
+            xs = xs.reshape(xs.shape[0] // n_sub, n_sub * xs.shape[1],
+                            xs.shape[2])
         N, chunk = xs.shape[0], xs.shape[1]
         C = att_cache.shape[3]
         L = C + chunk
@@ -446,6 +461,8 @@ class ConformerEncoder(nn.Module):
         use_tick = isinstance(packed, dict)
         assert not (quant and use_tick), \
             "whole-tick megakernel has no int8-cache variant"
+        assert not (use_tick and n_sub > 1), \
+            "whole-tick megakernel has no multi-chunk variant"
         # packs with per-layer HBM position tables (pack_chunk_params
         # called with cache_size) route the in-kernel positions DMA: no
         # (N, L, D) sinusoid + per-layer posp einsum per tick at all
@@ -495,14 +512,16 @@ class ConformerEncoder(nn.Module):
                     x, a, s, cn = fused_chunk_layer_q8(
                         x, posp, att_c[i], sc_c[i], cnn_c[i], clens,
                         p, ptab, starts, n_head=self.attention_heads,
-                        ksize=self.cnn_module_kernel, ff_scale=l0.ff_scale)
+                        ksize=self.cnn_module_kernel, ff_scale=l0.ff_scale,
+                        n_sub=n_sub)
                     new_sc.append(s)
                 else:
                     x, a, cn = fused_chunk_layer(
                         x, posp, att_c[i], cnn_c[i], clens,
                         p, None, ptab, starts,
                         n_head=self.attention_heads,
-                        ksize=self.cnn_module_kernel, ff_scale=l0.ff_scale)
+                        ksize=self.cnn_module_kernel, ff_scale=l0.ff_scale,
+                        n_sub=n_sub)
                 new_att.append(a)
                 new_cnn.append(cn)
             if quant:

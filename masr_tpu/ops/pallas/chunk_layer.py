@@ -30,7 +30,22 @@ from jax.experimental.pallas import tpu as pltpu
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _kernel(*refs, n_head, d_k, ksize, ff_scale, eps, table=False):
+def _sub_chunk_mask_parts(n_head, c, L, C, n_sub):
+    """Static per-row band bounds for multi-chunk ticks (n_sub buffered
+    sub-chunks processed in ONE kernel call, exactly equivalent to n_sub
+    sequential chunk steps). Query rows of sub-chunk i may see:
+      - cache cols with col_pos >= i*sub_c (the sliding window: the C most
+        recent frames BEFORE sub-chunk i's start), and
+      - chunk cols of sub-chunks <= i (block-causal).
+    Returns (min_cache_col, chunk_col_limit), both (h·c, h·L) int32."""
+    sub_c = c // n_sub
+    row_sub = (jax.lax.broadcasted_iota(
+        jnp.int32, (n_head * c, n_head * L), 0) % c) // sub_c
+    return row_sub * sub_c, C + (row_sub + 1) * sub_c
+
+
+def _kernel(*refs, n_head, d_k, ksize, ff_scale, eps, table=False,
+            n_sub=1):
     if table:
         # positions DMA'd per slot from an HBM-resident per-layer
         # projected table (rows i = linear_pos(sinusoid(max(i - C, 0))) —
@@ -103,6 +118,9 @@ def _kernel(*refs, n_head, d_k, ksize, ff_scale, eps, table=False):
     col_head = col_idx // L
     col_pos = col_idx - col_head * L
     same_head = row_head == col_head
+    if n_sub > 1:
+        min_cache_col, chunk_lim = _sub_chunk_mask_parts(
+            n_head, c, L, C, n_sub)
     att_rows = []
     for s in range(bs):
         rows = slice(s * c, (s + 1) * c)
@@ -138,8 +156,16 @@ def _kernel(*refs, n_head, d_k, ksize, ff_scale, eps, table=False):
             qs_ref[...].astype(cdt), ks_ref[...].astype(cdt),
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
-        # cache positions valid iff pos >= C - cache_len; chunk always
-        ok = same_head & ((col_pos >= C - valid) | (col_pos >= C))
+        # cache positions valid iff pos >= C - cache_len; chunk always;
+        # multi-chunk ticks additionally band by sub-chunk (block-causal
+        # over the n_sub sub-chunks + per-sub-chunk sliding cache window)
+        if n_sub > 1:
+            ok = same_head & (
+                ((col_pos < C) & (col_pos >= C - valid)
+                 & (col_pos >= min_cache_col))
+                | ((col_pos >= C) & (col_pos < chunk_lim)))
+        else:
+            ok = same_head & ((col_pos >= C - valid) | (col_pos >= C))
         sc = jnp.where(ok, sc, MASK_VALUE)
         m = jnp.max(sc, axis=1, keepdims=True)
         p = jnp.exp(sc - m)
@@ -154,12 +180,16 @@ def _kernel(*refs, n_head, d_k, ksize, ff_scale, eps, table=False):
             [o_stack[h * c:(h + 1) * c, :] for h in range(n_head)], axis=1))
         # rolled cache: drop the oldest c rows, append the chunk's kv
         # (built as a value — Mosaic rejects ref-to-ref copies whose row
-        # offsets differ)
+        # offsets differ; piece list conditional — no 0-sized operands
+        # when c == C)
         for h in range(n_head):
             sl = slice(h * d_k, (h + 1) * d_k)
             new_kv = jnp.concatenate([k[rows, sl], v[rows, sl]], axis=1)
-            old = ac_ref[s, h, :, :].astype(jnp.float32)
-            rolled = jnp.concatenate([old[c:, :], new_kv], axis=0)
+            if c < C:
+                old = ac_ref[s, h, :, :].astype(jnp.float32)
+                rolled = jnp.concatenate([old[c:, :], new_kv], axis=0)
+            else:
+                rolled = new_kv
             nac_ref[s, h, :, :] = rolled.astype(nac_ref.dtype)
     att = jnp.concatenate(att_rows, axis=0) if bs > 1 else att_rows[0]
     x = x + mm(att, attw_ref[3]) + vecb_ref[5:6, :]
@@ -190,7 +220,8 @@ def _kernel(*refs, n_head, d_k, ksize, ff_scale, eps, table=False):
     y_ref[...] = layer_norm(x, 5).astype(y_ref.dtype).reshape(bs, c, D)
 
 
-def _kernel_q8(*refs, n_head, d_k, ksize, ff_scale, eps, table=False):
+def _kernel_q8(*refs, n_head, d_k, ksize, ff_scale, eps, table=False,
+               n_sub=1):
     """int8-KV-cache variant of _kernel: the rolled att cache is stored as
     int8 with per-row absmax scales (sc_ref: (bs, 2·h, C) f32 — rows
     0..h-1 key scales, h..2h-1 value scales; lane layout keeps the scale
@@ -273,6 +304,9 @@ def _kernel_q8(*refs, n_head, d_k, ksize, ff_scale, eps, table=False):
     col_head = col_idx // L
     col_pos = col_idx - col_head * L
     same_head = row_head == col_head
+    if n_sub > 1:
+        min_cache_col, chunk_lim = _sub_chunk_mask_parts(
+            n_head, c, L, C, n_sub)
     att_rows = []
     for s in range(bs):
         rows = slice(s * c, (s + 1) * c)
@@ -304,7 +338,13 @@ def _kernel_q8(*refs, n_head, d_k, ksize, ff_scale, eps, table=False):
             qs_ref[...].astype(cdt), ks_ref[...].astype(cdt),
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
-        ok = same_head & ((col_pos >= C - valid) | (col_pos >= C))
+        if n_sub > 1:
+            ok = same_head & (
+                ((col_pos < C) & (col_pos >= C - valid)
+                 & (col_pos >= min_cache_col))
+                | ((col_pos >= C) & (col_pos < chunk_lim)))
+        else:
+            ok = same_head & ((col_pos >= C - valid) | (col_pos >= C))
         sc = jnp.where(ok, sc, MASK_VALUE)
         m = jnp.max(sc, axis=1, keepdims=True)
         p = jnp.exp(sc - m)
@@ -328,8 +368,11 @@ def _kernel_q8(*refs, n_head, d_k, ksize, ff_scale, eps, table=False):
             kq = jnp.clip(jnp.round(kk / ksc), -127.0, 127.0)
             vq = jnp.clip(jnp.round(vv / vsc), -127.0, 127.0)
             new_kv = jnp.concatenate([kq, vq], axis=1)
-            old = ac_ref[s, h, :, :].astype(jnp.float32)
-            rolled = jnp.concatenate([old[c:, :], new_kv], axis=0)
+            if c < C:
+                old = ac_ref[s, h, :, :].astype(jnp.float32)
+                rolled = jnp.concatenate([old[c:, :], new_kv], axis=0)
+            else:
+                rolled = new_kv
             nac_ref[s, h, :, :] = rolled.astype(nac_ref.dtype)
             # scatter per-head scale columns via lane-index select
             # (no .at[] updates on values inside Mosaic)
@@ -338,8 +381,9 @@ def _kernel_q8(*refs, n_head, d_k, ksize, ff_scale, eps, table=False):
             absm = jnp.where(lane == n_head + h, vsc, absm)
         # rolled scales: old lanes shifted left by c, new scales appended
         new_rows = transpose(absm)                       # (2h, c)
-        old_sc = sc_ref[s]                               # (2h, C)
-        nsc_ref[s, :, 0:C - c] = old_sc[:, c:]
+        if c < C:
+            old_sc = sc_ref[s]                           # (2h, C)
+            nsc_ref[s, :, 0:C - c] = old_sc[:, c:]
         nsc_ref[s, :, C - c:C] = new_rows
     att = jnp.concatenate(att_rows, axis=0) if bs > 1 else att_rows[0]
     x = x + mm(att, attw_ref[3]) + vecb_ref[5:6, :]
@@ -451,11 +495,12 @@ def clamp_pos_starts(offsets, table_len, L):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_head", "ksize", "ff_scale", "eps", "block_b", "interpret"))
+    "n_head", "ksize", "ff_scale", "eps", "block_b", "interpret",
+    "n_sub"))
 def fused_chunk_layer(x, posp, att_cache, cnn_cache, cache_lens, params,
                       wpos=None, pos_table=None, starts=None, *, n_head,
                       ksize, ff_scale=0.5, eps=1e-5, block_b=None,
-                      interpret=None):
+                      interpret=None, n_sub=1):
     """x: (B, c, D) chunk after subsampling; posp: (B, C+c, D) per-slot
     PRE-projected positions — linear_pos(pos_emb), one batched einsum per
     layer in the caller (forward_chunk_batched); att_cache: (B, h, C,
@@ -466,6 +511,14 @@ def fused_chunk_layer(x, posp, att_cache, cnn_cache, cache_lens, params,
     (clamp_pos_starts) with posp=None: positions are then DMA'd per slot
     from the HBM table inside the kernel — no per-tick (B, L, D)
     materialization at all.
+    n_sub > 1 runs a MULTI-CHUNK TICK: x carries n_sub buffered
+    sub-chunks of c/n_sub frames each, and the attention mask goes
+    block-causal over them (each sub-chunk sees the C most recent frames
+    before its own start + itself) — bit-equivalent to n_sub sequential
+    calls while reading the caches/weights ONCE per dispatch instead of
+    n_sub times (docs/streaming_roofline.md: the tick is bounded by
+    per-grid-step DMA, which this amortizes n_sub×). Requires
+    c ≤ C and n_sub | c.
     → (y (B, c, D), new_att_cache, new_cnn_cache)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -503,10 +556,11 @@ def fused_chunk_layer(x, posp, att_cache, cnn_cache, cache_lens, params,
     pos_args = (pos_table,) if table else (posp,)
     extra_scratch = [pltpu.VMEM((bs, L, D), pos_table.dtype),
                      pltpu.SemaphoreType.DMA((bs,))] if table else []
+    assert c <= C and c % n_sub == 0, (c, C, n_sub)
     y, nac, ncc = pl.pallas_call(
         functools.partial(_kernel, n_head=n_head, d_k=D // n_head,
                           ksize=ksize, ff_scale=ff_scale, eps=eps,
-                          table=table),
+                          table=table, n_sub=n_sub),
         out_shape=(jax.ShapeDtypeStruct((Bp, c, D), x.dtype),
                    jax.ShapeDtypeStruct(att_cache.shape, att_cache.dtype),
                    jax.ShapeDtypeStruct(cnn_cache.shape, cnn_cache.dtype)),
@@ -552,17 +606,19 @@ def fused_chunk_layer(x, posp, att_cache, cnn_cache, cache_lens, params,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_head", "ksize", "ff_scale", "eps", "block_b", "interpret"))
+    "n_head", "ksize", "ff_scale", "eps", "block_b", "interpret",
+    "n_sub"))
 def fused_chunk_layer_q8(x, posp, att_cache, att_scale, cnn_cache,
                          cache_lens, params, pos_table=None, starts=None,
                          *, n_head, ksize, ff_scale=0.5,
-                         eps=1e-5, block_b=None, interpret=None):
+                         eps=1e-5, block_b=None, interpret=None, n_sub=1):
     """int8-KV-cache variant of fused_chunk_layer. att_cache: (B, h, C,
     2·d_k) int8; att_scale: (B, 2·h, C) f32 per-row absmax scales (k rows
     0..h-1, v rows h..2h-1). Halving the cache bytes roughly halves the
     per-grid-step DMA that bounds the tick (docs/streaming_roofline.md)
     and frees VMEM for a bigger slot block. pos_table/starts as in
-    fused_chunk_layer (in-kernel positions DMA, posp=None).
+    fused_chunk_layer (in-kernel positions DMA, posp=None); n_sub as in
+    fused_chunk_layer (multi-chunk tick, block-causal sub-chunk mask).
     → (y, new_att_cache int8, new_att_scale, new_cnn_cache)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -598,10 +654,11 @@ def fused_chunk_layer_q8(x, posp, att_cache, att_scale, cnn_cache,
     pos_args = (pos_table,) if table else (posp,)
     extra_scratch = [pltpu.VMEM((bs, L, D), pos_table.dtype),
                      pltpu.SemaphoreType.DMA((bs,))] if table else []
+    assert c <= C and c % n_sub == 0, (c, C, n_sub)
     y, nac, nsc, ncc = pl.pallas_call(
         functools.partial(_kernel_q8, n_head=n_head, d_k=D // n_head,
                           ksize=ksize, ff_scale=ff_scale, eps=eps,
-                          table=table),
+                          table=table, n_sub=n_sub),
         out_shape=(jax.ShapeDtypeStruct((Bp, c, D), x.dtype),
                    jax.ShapeDtypeStruct(att_cache.shape, jnp.int8),
                    jax.ShapeDtypeStruct(att_scale.shape, jnp.float32),

@@ -1,0 +1,297 @@
+"""Multi-chunk ticks (ops/pallas/chunk_layer.py n_sub > 1): one kernel
+call over k buffered sub-chunks with a block-causal sub-chunk mask must
+be bit-equivalent to k sequential chunk steps (bf16 / positions-table
+routes; the int8-KV route is equivalent up to quantization noise — the
+multi tick reads fresh sub-chunk K/V at full precision where sequential
+steps re-read them quantized, i.e. it is strictly MORE accurate), and the
+batch engine's tick_chunks knob must keep transcripts equal end-to-end."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from masr_tpu.models.embedding import sinusoid_position_encoding
+from masr_tpu.ops.pallas.chunk_layer import (
+    clamp_pos_starts, fused_chunk_layer, fused_chunk_layer_q8,
+    make_chunk_pos_table, quantize_kv_cache)
+
+B, c, D, F, H, C, KS = 3, 16, 64, 96, 2, 64, 7
+d_k = D // H
+K_SUB = 2
+CTOT = K_SUB * c
+
+
+def _params(rs):
+    f32 = jnp.float32
+    return {
+        "lnw": jnp.asarray(rs.standard_normal((6, 2, D)) * 0.1
+                           + (np.arange(2)[None, :, None] == 0), f32),
+        "ffw1": jnp.asarray(rs.standard_normal((2, D, F)) * 0.1, f32),
+        "ffb1": jnp.asarray(rs.standard_normal((2, F)) * 0.05, f32),
+        "ffw2": jnp.asarray(rs.standard_normal((2, F, D)) * 0.1, f32),
+        "vecb": jnp.asarray(rs.standard_normal((8, D)) * 0.05, f32),
+        "attw": jnp.asarray(rs.standard_normal((4, D, D)) * 0.1, f32),
+        "posb": jnp.asarray(rs.standard_normal((2, D)) * 0.05, f32),
+        "pw1w": jnp.asarray(rs.standard_normal((D, 2 * D)) * 0.1, f32),
+        "pw1b": jnp.asarray(rs.standard_normal((1, 2 * D)) * 0.05, f32),
+        "pw2w": jnp.asarray(rs.standard_normal((D, D)) * 0.1, f32),
+        "dww": jnp.asarray(rs.standard_normal((KS, D)) * 0.1, f32),
+    }
+
+
+def _inputs(rs):
+    x = jnp.asarray(rs.standard_normal((B, CTOT, D)) * 0.3, jnp.float32)
+    cache = jnp.asarray(rs.standard_normal((B, H, C, 2 * d_k)) * 0.5,
+                        jnp.float32)
+    cc = jnp.asarray(rs.standard_normal((B, KS - 1, D)) * 0.2, jnp.float32)
+    clens = jnp.asarray([0, 16, C][:B], jnp.int32)
+    offsets = jnp.asarray([0, 16, 200][:B], jnp.int32)
+    return x, cache, cc, clens, offsets
+
+
+def _posw(offsets, L):
+    pos = jnp.maximum((offsets - C)[:, None] + jnp.arange(L)[None, :], 0)
+    return sinusoid_position_encoding(pos.reshape(-1), D,
+                                      jnp.float32).reshape(B, L, D)
+
+
+def test_multi_chunk_matches_sequential_bf16():
+    rs = np.random.RandomState(0)
+    p = _params(rs)
+    x, cache, cc, clens, offsets = _inputs(rs)
+    Ls = C + c
+    ac, ccc, cl, off = cache, cc, clens, offsets
+    y_seq = []
+    for i in range(K_SUB):
+        y, ac, ccc = fused_chunk_layer(
+            x[:, i * c:(i + 1) * c], _posw(off, Ls), ac, ccc, cl, p,
+            n_head=H, ksize=KS, interpret=True)
+        y_seq.append(y)
+        cl = jnp.minimum(cl + c, C)
+        off = off + c
+    y_seq = jnp.concatenate(y_seq, axis=1)
+
+    y_m, ac_m, cc_m = fused_chunk_layer(
+        x, _posw(offsets, C + CTOT), cache, cc, clens, p,
+        n_head=H, ksize=KS, interpret=True, n_sub=K_SUB)
+    np.testing.assert_allclose(np.asarray(y_m), np.asarray(y_seq),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ac_m), np.asarray(ac),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(cc_m), np.asarray(ccc),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_multi_chunk_matches_sequential_table_route():
+    rs = np.random.RandomState(1)
+    p = _params(rs)
+    x, cache, cc, clens, offsets = _inputs(rs)
+    wpos = jnp.asarray(rs.standard_normal((D, D)) * 0.1, jnp.float32)
+    tab = make_chunk_pos_table(wpos, C, 1024, jnp.float32)
+    Ls = C + c
+    ac, ccc, cl, off = cache, cc, clens, offsets
+    y_seq = []
+    for i in range(K_SUB):
+        y, ac, ccc = fused_chunk_layer(
+            x[:, i * c:(i + 1) * c], None, ac, ccc, cl, p, None, tab,
+            clamp_pos_starts(off, 1024, Ls), n_head=H, ksize=KS,
+            interpret=True)
+        y_seq.append(y)
+        cl = jnp.minimum(cl + c, C)
+        off = off + c
+    y_seq = jnp.concatenate(y_seq, axis=1)
+
+    y_m, ac_m, _ = fused_chunk_layer(
+        x, None, cache, cc, clens, p, None, tab,
+        clamp_pos_starts(offsets, 1024, C + CTOT), n_head=H, ksize=KS,
+        interpret=True, n_sub=K_SUB)
+    np.testing.assert_allclose(np.asarray(y_m), np.asarray(y_seq),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ac_m), np.asarray(ac),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_multi_chunk_q8_within_quant_noise():
+    rs = np.random.RandomState(2)
+    p = _params(rs)
+    x, cache, cc, clens, offsets = _inputs(rs)
+    q, s = quantize_kv_cache(cache)
+    Ls = C + c
+    ac8, sc8, cc8, cl, off = q, s, cc, clens, offsets
+    y_seq = []
+    for i in range(K_SUB):
+        y, ac8, sc8, cc8 = fused_chunk_layer_q8(
+            x[:, i * c:(i + 1) * c], _posw(off, Ls), ac8, sc8, cc8, cl, p,
+            n_head=H, ksize=KS, interpret=True)
+        y_seq.append(y)
+        cl = jnp.minimum(cl + c, C)
+        off = off + c
+    y_seq = jnp.concatenate(y_seq, axis=1)
+
+    y_m, _, _, _ = fused_chunk_layer_q8(
+        x, _posw(offsets, C + CTOT), q, s, cc, clens, p,
+        n_head=H, ksize=KS, interpret=True, n_sub=K_SUB)
+    # sub-chunk 0's K/V reach sub-chunk 1 quantized in the sequential
+    # path, full-precision in the multi tick → bounded, not bit-equal
+    err = np.abs(np.asarray(y_m) - np.asarray(y_seq)).max()
+    assert err < 0.05, err
+    # sub-chunk 0's own rows never see the difference — exact
+    np.testing.assert_allclose(np.asarray(y_m[:, :c]),
+                               np.asarray(y_seq[:, :c]),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_encoder_multi_tick_matches_sequential():
+    """forward_chunk_batched with (N, k, T_in, feat) windows must equal k
+    sequential batched calls, through the embed + mask + positions path."""
+    import masr_tpu.ops.pallas.conformer_layer as cl
+    from masr_tpu.models.cmvn import GlobalCMVN
+    from masr_tpu.models.registry import build_model
+
+    FEAT = 80
+    enc = dict(output_size=32, attention_heads=2, linear_units=32,
+               num_blocks=2, cnn_module_kernel=7)
+    dec = dict(attention_heads=2, linear_units=32, num_blocks=1,
+               r_num_blocks=0)
+    model = build_model("conformer", FEAT, 7, streaming=True,
+                        encoder_conf=enc, decoder_conf=dec,
+                        model_conf=dict(ctc_weight=0.5),
+                        cmvn=GlobalCMVN(np.zeros(FEAT), np.ones(FEAT)))
+    rng = jax.random.PRNGKey(0)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": rng, "dropout": rng, "chunk": rng},
+        jnp.zeros((1, 67, FEAT)), jnp.asarray([67]),
+        jnp.zeros((1, 4), jnp.int32), jnp.asarray([4]), train=False)
+
+    N, k, W = 2, 2, 67
+    rs = np.random.RandomState(5)
+    wins = jnp.asarray(rs.standard_normal((N, k, W, FEAT)) * 0.5,
+                       jnp.float32)
+    cache_size = 64
+    state = model.apply(variables, method=lambda m: m.encoder.init_cache(
+        batch=N, cache_size=cache_size))
+    # stacked-state layout of the batch engine: leaf batch dim leads
+    state = {
+        "att_cache": state["att_cache"].transpose(1, 0, 2, 3, 4)[:, :, None],
+        "cnn_cache": state["cnn_cache"].transpose(1, 0, 2, 3)[:, :, None],
+        "offset": jnp.zeros((N,), jnp.int32),
+        "cache_len": jnp.zeros((N,), jnp.int32),
+    }
+    cl.FORCE_ON_CPU = True
+    try:
+        packed = model.apply(variables, False, cache_size,
+                             method=type(model).pack_chunk_params)
+        st = state
+        probs_seq = []
+        for i in range(k):
+            pr, st = model.apply(
+                variables, wins[:, i], st, packed,
+                method=type(model).get_encoder_out_chunk_batched)
+            probs_seq.append(pr)
+        probs_seq = jnp.concatenate(probs_seq, axis=1)
+
+        probs_m, st_m = model.apply(
+            variables, wins, state, packed,
+            method=type(model).get_encoder_out_chunk_batched)
+    finally:
+        cl.FORCE_ON_CPU = False
+    np.testing.assert_allclose(np.asarray(probs_m), np.asarray(probs_seq),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(st_m["att_cache"]),
+                               np.asarray(st["att_cache"]),
+                               rtol=2e-5, atol=2e-5)
+    assert int(st_m["offset"][0]) == int(st["offset"][0])
+    assert int(st_m["cache_len"][0]) == int(st["cache_len"][0])
+
+
+def test_engine_tick_chunks_matches_single(tmp_path):
+    """BatchStreamSession(tick_chunks=2) transcripts == tick_chunks=1 on
+    multi-chunk streams, through feed AND feed_many."""
+    import masr_tpu.ops.pallas.conformer_layer as cl
+    from masr_tpu.infer.batch_stream import BatchStreamSession
+    from masr_tpu.infer.bundle import save_inference_bundle
+    from masr_tpu.infer.predictor import MASRPredictor
+    from masr_tpu.models.cmvn import GlobalCMVN
+    from masr_tpu.models.registry import build_model
+
+    FEAT = 80
+    vocab = ["<blank>", "<unk>", "你", "好", "天", "<space>", "<eos>"]
+    enc = dict(output_size=32, attention_heads=2, linear_units=32,
+               num_blocks=2, cnn_module_kernel=7)
+    dec = dict(attention_heads=2, linear_units=32, num_blocks=1,
+               r_num_blocks=0)
+    model = build_model("conformer", FEAT, len(vocab), streaming=True,
+                        encoder_conf=enc, decoder_conf=dec,
+                        model_conf=dict(ctc_weight=0.5),
+                        cmvn=GlobalCMVN(np.zeros(FEAT), np.ones(FEAT)))
+    rng = jax.random.PRNGKey(0)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": rng, "dropout": rng, "chunk": rng},
+        jnp.zeros((1, 67, FEAT)), jnp.asarray([67]),
+        jnp.zeros((1, 4), jnp.int32), jnp.asarray([4]), train=False)
+    save_inference_bundle(str(tmp_path), "conformer", True, FEAT, vocab,
+                          np.zeros(FEAT), np.ones(FEAT), enc, dec,
+                          dict(ctc_weight=0.5),
+                          {"feature_method": "fbank", "n_mels": FEAT},
+                          variables)
+    predictor = MASRPredictor(str(tmp_path), decoder="ctc_greedy",
+                              warmup=False)
+    kw = dict(preprocess_conf=predictor.predictor.meta["preprocess_conf"],
+              max_streams=4)
+
+    def wave(seed, seconds=3.0):
+        rs = np.random.RandomState(seed)
+        n = int(16000 * seconds)
+        t = np.arange(n) / 16000
+        return (0.3 * np.sin(2 * np.pi * (200 + 100 * seed) * t)
+                + 0.02 * rs.standard_normal(n)).astype(np.float32)
+
+    waves = [wave(s + 70) for s in range(2)]
+    cl.FORCE_ON_CPU = True
+    try:
+        base = BatchStreamSession(predictor.predictor,
+                                  predictor._text_featurizer.vocab_list,
+                                  **kw)
+        multi = BatchStreamSession(predictor.predictor,
+                                   predictor._text_featurizer.vocab_list,
+                                   tick_chunks=2, **kw)
+        assert base.tick_k == 1 and multi.tick_k == 2
+        assert multi._use_fused_chunk and not multi._use_chunk_tick
+
+        texts = {}
+        for name, sess in (("base", base), ("multi", multi)):
+            # feed: big pieces so several windows buffer up per call
+            slot = sess.open()
+            res = None
+            step = 16000
+            for i in range(len(waves[0]) // step + 1):
+                piece = waves[0][i * step:(i + 1) * step]
+                if len(piece) == 0:
+                    continue
+                out = sess.feed(slot, piece,
+                                is_end=(i + 1) * step >= len(waves[0]))
+                if out is not None:
+                    res = out["text"]
+            sess.close(slot)
+            # feed_many: two concurrent streams
+            slots = [sess.open() for _ in range(2)]
+            res2 = [None, None]
+            for i in range(len(waves[0]) // step + 1):
+                items = []
+                for sidx, slot_i in enumerate(slots):
+                    piece = waves[sidx][i * step:(i + 1) * step]
+                    if len(piece):
+                        items.append((slot_i, piece,
+                                      (i + 1) * step >= len(waves[sidx])))
+                if not items:
+                    continue
+                outs = sess.feed_many(items)
+                for sidx, slot_i in enumerate(slots):
+                    if outs.get(slot_i) is not None:
+                        res2[sidx] = outs[slot_i]["text"]
+            for slot_i in slots:
+                sess.close(slot_i)
+            texts[name] = (res, tuple(res2))
+    finally:
+        cl.FORCE_ON_CPU = False
+    assert texts["multi"] == texts["base"], texts
