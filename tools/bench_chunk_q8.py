@@ -36,18 +36,33 @@ def main():
         for name, kw in (("bf16/posp", dict(pos_tables=False)),
                          ("bf16/table", dict(pos_tables=True)),
                          ("int8/table", dict(pos_tables=True,
-                                             kv_int8=True))):
+                                             kv_int8=True)),
+                         ("bf16/table/k2", dict(pos_tables=True, tick_k=2,
+                                                K=100)),
+                         ("bf16/table/k4", dict(pos_tables=True, tick_k=4,
+                                                K=64)),
+                         ("int8/table/k4", dict(pos_tables=True, tick_k=4,
+                                                kv_int8=True, K=64))):
             try:
+                K = kw.pop("K", 200)
+                tick_k = kw.get("tick_k", 1)
                 t, _ = bench.bench_stream_scan(model, variables, batch=B,
-                                               K=200, fused=True, **kw)
-                res[name] = t
-                rtf = B * bench.AUDIO_PER_CHUNK / t
-                print(f"B={B} {name}: {t * 1e3:.2f} ms ({rtf:.0f}x RT)")
+                                               K=K, fused=True, **kw)
+                res[name] = t / tick_k     # per-chunk-equivalent
+                rtf = B * tick_k * bench.AUDIO_PER_CHUNK / t
+                print(f"B={B} {name}: {t * 1e3:.2f} ms/step "
+                      f"({rtf:.0f}x RT)")
             except Exception as e:
                 print(f"B={B} {name}: FAILED — {e}")
         if "bf16/posp" in res and "int8/table" in res:
-            print(f"B={B}: total speedup "
+            print(f"B={B}: int8 total speedup "
                   f"{res['bf16/posp'] / res['int8/table']:.2f}x")
+        if "bf16/posp" in res and "bf16/table/k4" in res:
+            print(f"B={B}: k=4 multi-chunk throughput gain "
+                  f"{res['bf16/posp'] / res['bf16/table/k4']:.2f}x")
+        if "bf16/posp" in res and "int8/table/k4" in res:
+            print(f"B={B}: int8+k4 combined gain "
+                  f"{res['bf16/posp'] / res['int8/table/k4']:.2f}x")
 
     # numeric drift over 30 chained ticks (distinct inputs per tick)
     cache_size = bench.CHUNK * 16
