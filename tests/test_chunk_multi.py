@@ -295,3 +295,104 @@ def test_engine_tick_chunks_matches_single(tmp_path):
     finally:
         cl.FORCE_ON_CPU = False
     assert texts["multi"] == texts["base"], texts
+
+
+def test_device_beam_decode_fn_chunk_size_invariant():
+    """decode_fn over one 2·CH-frame call == two CH-frame calls (the
+    multi-chunk tick feeds the fused beam head k·CH frames at once)."""
+    from masr_tpu.decoders.device_beam import make_stream_decode_fn
+
+    V, CH, N = 12, 8, 3
+    init_fn, decode_fn = make_stream_decode_fn(beam_size=4, cutoff_top_n=6)
+    rs = np.random.RandomState(0)
+    logits = rs.standard_normal((N, 2 * CH, V)).astype(np.float32)
+    logits[..., 0] += 1.0          # favor blanks a bit
+    e = np.exp(logits - logits.max(-1, keepdims=True))
+    probs = jnp.asarray(e / e.sum(-1, keepdims=True))
+    fv = np.ones((N, 2 * CH), bool)
+    fv[1, CH + 3:] = False          # one slot with a partial second chunk
+    fv = jnp.asarray(fv)
+
+    st = init_fn(N)
+    st_a, best_a = decode_fn(st, probs, fv)
+
+    st = init_fn(N)
+    st, _ = decode_fn(st, probs[:, :CH], fv[:, :CH])
+    st_b, best_b = decode_fn(st, probs[:, CH:], fv[:, CH:])
+
+    for a, b in zip(jax.tree.leaves(st_a), jax.tree.leaves(st_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+    for a, b in zip(best_a, best_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_engine_tick_chunks_beam_decoder(tmp_path):
+    """tick_chunks=2 with the on-device beam decoder: transcripts equal
+    the single-tick beam engine."""
+    import masr_tpu.ops.pallas.conformer_layer as cl
+    from masr_tpu.infer.batch_stream import BatchStreamSession
+    from masr_tpu.infer.bundle import save_inference_bundle
+    from masr_tpu.infer.predictor import MASRPredictor
+    from masr_tpu.models.cmvn import GlobalCMVN
+    from masr_tpu.models.registry import build_model
+
+    FEAT = 80
+    vocab = ["<blank>", "<unk>", "你", "好", "天", "<space>", "<eos>"]
+    enc = dict(output_size=32, attention_heads=2, linear_units=32,
+               num_blocks=2, cnn_module_kernel=7)
+    dec = dict(attention_heads=2, linear_units=32, num_blocks=1,
+               r_num_blocks=0)
+    model = build_model("conformer", FEAT, len(vocab), streaming=True,
+                        encoder_conf=enc, decoder_conf=dec,
+                        model_conf=dict(ctc_weight=0.5),
+                        cmvn=GlobalCMVN(np.zeros(FEAT), np.ones(FEAT)))
+    rng = jax.random.PRNGKey(0)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": rng, "dropout": rng, "chunk": rng},
+        jnp.zeros((1, 67, FEAT)), jnp.asarray([67]),
+        jnp.zeros((1, 4), jnp.int32), jnp.asarray([4]), train=False)
+    save_inference_bundle(str(tmp_path), "conformer", True, FEAT, vocab,
+                          np.zeros(FEAT), np.ones(FEAT), enc, dec,
+                          dict(ctc_weight=0.5),
+                          {"feature_method": "fbank", "n_mels": FEAT},
+                          variables)
+    predictor = MASRPredictor(str(tmp_path), decoder="ctc_greedy",
+                              warmup=False)
+    kw = dict(preprocess_conf=predictor.predictor.meta["preprocess_conf"],
+              max_streams=2, decoder="ctc_beam_search_device",
+              decoder_conf=dict(beam_size=4, cutoff_top_n=6))
+
+    def wave(seed, seconds=2.5):
+        rs = np.random.RandomState(seed)
+        n = int(16000 * seconds)
+        t = np.arange(n) / 16000
+        return (0.3 * np.sin(2 * np.pi * (200 + 100 * seed) * t)
+                + 0.02 * rs.standard_normal(n)).astype(np.float32)
+
+    w = wave(91)
+    cl.FORCE_ON_CPU = True
+    try:
+        texts = {}
+        for name, tick in (("base", 1), ("multi", 2)):
+            sess = BatchStreamSession(
+                predictor.predictor, predictor._text_featurizer.vocab_list,
+                tick_chunks=tick, **kw)
+            assert sess.tick_k == tick
+            slot = sess.open()
+            res = None
+            step = 16000
+            for i in range(len(w) // step + 1):
+                piece = w[i * step:(i + 1) * step]
+                if len(piece) == 0:
+                    continue
+                out = sess.feed(slot, piece,
+                                is_end=(i + 1) * step >= len(w))
+                if out is not None:
+                    res = out["text"]
+            sess.close(slot)
+            texts[name] = res
+    finally:
+        cl.FORCE_ON_CPU = False
+    assert texts["multi"] == texts["base"], texts
