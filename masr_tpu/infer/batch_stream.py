@@ -72,8 +72,9 @@ class BatchStreamSession(object):
             except Exception:
                 use_fused = False
         self._use_fused_chunk = use_fused
+        # int8 KV caches exist only for the Conformer chunk kernel
         kv_int8 = kv_cache == "int8" and use_fused \
-            and self.ip.use_model != "deepspeech2"
+            and self.ip.use_model == "conformer"
         self.kv_cache = "int8" if kv_int8 else "bf16"
         # multi-chunk ticks: eligibility re-checked at the combined chunk
         # size (k·CH must fit the cache and the kernel's VMEM budget)

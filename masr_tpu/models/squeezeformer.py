@@ -468,10 +468,151 @@ class SqueezeformerEncoder(nn.Module):
                 "offset": jnp.zeros((), jnp.int32),
                 "cache_len": jnp.zeros((), jnp.int32)}
 
+    # ------------------------------------------------------------------ #
+    # fused batched streaming (the batch engine's fast path)
+    # ------------------------------------------------------------------ #
+    def fused_chunk_eligible(self, chunk, cache_size, batch=None):
+        """Whether forward_chunk_batched can take the fused kernel path
+        (ops/pallas/chunk_layer_sq.py). Single-program route only — no
+        shard_map variant yet (serving density work stays on the
+        flagship Conformer); multi-device callers keep the vmapped
+        path."""
+        from masr_tpu.ops.pallas import conformer_layer as cl
+        from masr_tpu.ops.pallas.chunk_layer import chunk_layer_supported
+        from masr_tpu.parallel.mesh import fused_route_mesh
+        if not ((jax.default_backend() == "tpu" or cl.FORCE_ON_CPU)
+                and self.pos_enc_layer_type == "rel_pos"
+                and not self.normalize_before and self.causal
+                and self.time_reduction_layer_type == "stream"
+                and chunk % 2 == 0 and cache_size % 2 == 0
+                and cache_size >= chunk):
+            return False
+        ok, mesh = fused_route_mesh(batch if batch is not None
+                                    else jax.device_count())
+        if not ok or mesh is not None:
+            return False
+        return chunk_layer_supported(
+            chunk, cache_size, self.encoder_dim,
+            self.encoder_dim * self.feed_forward_expansion_factor,
+            self.attention_heads, self.dtype)
+
+    def pack_chunk_params(self, tick=False, cache_size=None):
+        """Packed per-layer weights for the fused chunk kernel (BN folded
+        to affine from running stats — exact in eval). cache_size is
+        accepted for engine-call compatibility; there is no HBM
+        position-table route here (positions via one batched einsum per
+        layer)."""
+        from masr_tpu.ops.pallas.squeezeformer_layer import \
+            pack_sq_layer_params
+        assert not tick, "squeezeformer has no whole-tick megakernel"
+        conv_ln = self.cnn_norm_type == "layer_norm"
+        out = []
+        for layer in self.encoders:
+            p = pack_sq_layer_params(
+                layer.variables["params"],
+                layer.variables.get("batch_stats"), self.dtype,
+                adaptive_scale=self.adaptive_scale, conv_ln=conv_ln)
+            wpos = p.pop("linear_pos")
+            out.append((p, wpos))
+        return out
+
+    def forward_chunk_batched(self, xs, offsets, att_cache, cnn_cache,
+                              cache_lens, packed=None, att_scale=None):
+        """Batched streaming chunk step with PER-SLOT offsets/validity —
+        the fused-kernel analogue of vmapping forward_chunk: one
+        pallas_call per layer AT THAT LAYER'S RESOLUTION (half-rate
+        layers get the stride-sliced cache, half positions and
+        cache_lens//2, exactly like forward_chunk); the U-Net
+        reduce/recover plumbing between layers stays on XLA.
+
+        xs: (N, T_in, input_size), or (N, k, T_in, input_size) for
+        MULTI-CHUNK TICKS (k buffered windows per slot in one dispatch,
+        block-causal sub-chunk mask — see chunk_layer.py).
+        → (ys (N, chunk[·k], D_out), new_att_cache, new_cnn_cache)."""
+        from masr_tpu.ops.pallas.chunk_layer_sq import fused_chunk_layer_sq
+        assert att_scale is None, \
+            "squeezeformer fused chunk has no int8-cache variant"
+        assert self.time_reduction_layer_type == "stream" or \
+            not self.reduce_idx_list
+        n_sub = 1
+        if xs.ndim == 4:
+            n_sub = xs.shape[1]
+            xs = xs.reshape((xs.shape[0] * n_sub,) + xs.shape[2:])
+        if self.cmvn is not None:
+            xs = self.cmvn(xs)
+        xs = xs.astype(self.dtype)
+        # each sub-chunk embeds standalone, exactly as sequential steps
+        # feed their overlapping raw windows
+        xs, _, _ = self.embed(xs, None, 0, False)   # offset-free (rel_pos)
+        if n_sub > 1:
+            xs = xs.reshape(xs.shape[0] // n_sub, n_sub * xs.shape[1],
+                            xs.shape[2])
+        N, chunk = xs.shape[0], xs.shape[1]
+        C = att_cache.shape[3]
+        L = C + chunk
+        positions = jnp.maximum(
+            (offsets - C)[:, None] + jnp.arange(L)[None, :], 0)
+        pe_full = sinusoid_position_encoding(
+            positions.reshape(-1), self.encoder_dim,
+            self.dtype).reshape(N, L, self.encoder_dim)
+        # half-rate key positions: cache entry j (full row 2j+1) scores
+        # with position row 2j, then the strided chunk — the same
+        # convention as forward_chunk's pos_half
+        pe_half = jnp.concatenate([pe_full[:, 0:C:2], pe_full[:, C::2]],
+                                  axis=1)
+        if packed is None:
+            packed = self.pack_chunk_params()
+        conv_ln = self.cnn_norm_type == "layer_norm"
+        xs = self.preln(xs)
+        new_att, new_cnn = [], []
+        recover_acts: List = []
+        index = 0
+        cur = xs
+        for i, layer in enumerate(self.encoders):
+            if i in self.reduce_idx_list:
+                recover_acts.append(cur)
+                cur = self.time_reduction_layer(cur, None)
+                index += 1
+            if i in self.recover_idx_list:
+                index -= 1
+                r_xs = recover_acts[index]
+                cur = jnp.repeat(cur, 2, axis=1)
+                cur = self.time_recover_layer(cur)
+                cur = r_xs + cur[:, : r_xs.shape[1], :]
+            factor = self.downsampling_factor(i)
+            p, wpos = packed[i]
+            if factor == 1:
+                cache_i, clens_i, pe = att_cache[i], cache_lens, pe_full
+            else:
+                cache_i = att_cache[i][:, :, 1::2, :]
+                clens_i = cache_lens // 2
+                pe = pe_half
+            posp = jnp.einsum("nld,de->nle", pe.astype(wpos.dtype), wpos,
+                              preferred_element_type=jnp.float32
+                              ).astype(pe.dtype)
+            cur, a, cc = fused_chunk_layer_sq(
+                cur, posp, cache_i, cnn_cache[i], clens_i, p,
+                n_head=self.attention_heads, ksize=self.cnn_module_kernel,
+                conv_ln=conv_ln, n_sub=n_sub)
+            if factor > 1:  # re-inflate to full resolution for storage
+                a = jnp.repeat(a, factor, axis=2)
+            new_att.append(a)
+            new_cnn.append(cc)
+        if self.output_size != self.encoder_dim:
+            cur = self.final_proj(cur)
+        return cur, jnp.stack(new_att, 0), jnp.stack(new_cnn, 0)
+
 
 class SqueezeformerModel(ConformerModel):
     """(parity: squeezeformer/model.py:16-200 — same loss/API as Conformer;
     streaming picks the 'stream' time-reduction and causal convs)."""
+
+    def chunk_fused_ok(self, chunk, cache_size, batch=None):
+        """Static check: can the batched chunk step take the fused
+        Squeezeformer kernel path (ops/pallas/chunk_layer_sq.py)?"""
+        return (type(self.encoder) is SqueezeformerEncoder
+                and self.encoder.fused_chunk_eligible(chunk, cache_size,
+                                                      batch))
 
     def make_encoder(self):
         enc_conf = dict(self.encoder_conf or {})
