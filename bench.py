@@ -102,8 +102,11 @@ def bench_stream_scan(model, variables, batch, K, fused=False,
     cache_size = CHUNK * 16
     packed = None
     if fused:
-        tmpl = model.apply(variables, method=lambda m: m.encoder.init_cache(
-            batch=1, cache_size=cache_size, kv_int8=kv_int8))
+        ckw = dict(batch=1, cache_size=cache_size)
+        if kv_int8:          # conformer-only kwarg
+            ckw["kv_int8"] = True
+        tmpl = model.apply(variables,
+                           method=lambda m: m.encoder.init_cache(**ckw))
         state = jax.tree.map(lambda x: jnp.stack([x] * batch), tmpl)
         method = type(model).get_encoder_out_chunk_batched
         # pack ONCE with the per-layer position tables, exactly like the
@@ -479,6 +482,56 @@ def main():
     except Exception as e:
         log(f"family bench unavailable: {e}")
 
+    # squeezeformer batched streaming (fused chunk kernel,
+    # ops/pallas/chunk_layer_sq.py — falls back to the vmapped engine
+    # path if the kernel is unavailable)
+    sq_serving = {}
+    try:
+        import yaml
+        from masr_tpu.models.registry import build_model
+        from masr_tpu.models.cmvn import GlobalCMVN
+        import jax.numpy as jnp2
+        with open("configs/squeezeformer.yml", encoding="utf-8") as f:
+            sq_cfg = yaml.safe_load(f)
+        m_sq = build_model(
+            "squeezeformer", FEAT, VOCAB_SIZE, streaming=True,
+            encoder_conf=sq_cfg.get("encoder_conf") or {},
+            decoder_conf=sq_cfg.get("decoder_conf") or {},
+            model_conf=dict(ctc_weight=0.3),
+            cmvn=GlobalCMVN(np.zeros(FEAT), np.ones(FEAT)),
+            dtype=jnp2.bfloat16)
+        v_sq = jax.jit(m_sq.init, static_argnames=("train",))(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(0),
+             "chunk": jax.random.PRNGKey(0)},
+            jnp2.zeros((1, WINDOW, FEAT)), jnp2.asarray([WINDOW]),
+            jnp2.ones((1, 4), jnp2.int32), jnp2.asarray([4]),
+            train=False)
+        fused_sq = False
+        try:
+            fused_sq = bool(m_sq.apply(v_sq, CHUNK, CHUNK * 16, 32,
+                                       method=type(m_sq).chunk_fused_ok))
+        except Exception:
+            pass
+        per_step = None
+        if fused_sq:
+            try:
+                per_step, _ = bench_stream_scan(m_sq, v_sq, batch=32,
+                                                K=100, fused=True)
+            except Exception as e:
+                log(f"sq fused chunk step failed, vmapped fallback: {e}")
+                fused_sq = False
+        if per_step is None:
+            per_step, _ = bench_stream_scan(m_sq, v_sq, batch=32, K=100,
+                                            fused=False)
+        sq_rtf = 32 * AUDIO_PER_CHUNK / per_step
+        sq_serving = dict(ms=per_step * 1e3, rtf=sq_rtf, fused=fused_sq)
+        log(f"batched streaming B=32 (squeezeformer, "
+            f"{'fused' if fused_sq else 'vmapped'}): "
+            f"{per_step * 1e3:.2f} ms/step, {sq_rtf:.0f}x realtime/chip")
+    except Exception as e:
+        log(f"squeezeformer streaming bench unavailable: {e}")
+
     # on-device batched beam search (LM-free prefix beam, decoders/
     # device_beam.py) — decode 128 utterances of CTC probs on chip
     from masr_tpu.decoders.device_beam import ctc_beam_search_jax
@@ -539,6 +592,9 @@ def main():
         "serving_b128_k4_rtf":
             round(serving_multi[128]["rtf"], 1)
             if 128 in serving_multi else None,
+        "serving_sq_b32_rtf":
+            round(sq_serving["rtf"], 1) if sq_serving else None,
+        "serving_sq_b32_fused": sq_serving.get("fused"),
         "full_context_b32_rtf_xla":
             round(full["xla"]["rtf"], 1) if full["xla"]["rtf"] else None,
         "full_context_b32_rtf_fused":
