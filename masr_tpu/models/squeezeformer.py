@@ -473,9 +473,9 @@ class SqueezeformerEncoder(nn.Module):
     # ------------------------------------------------------------------ #
     def fused_chunk_eligible(self, chunk, cache_size, batch=None):
         """Whether forward_chunk_batched can take the fused kernel path
-        (ops/pallas/chunk_layer_sq.py). Single-program route only — no
-        shard_map variant yet (serving density work stays on the
-        flagship Conformer); multi-device callers keep the vmapped
+        (ops/pallas/chunk_layer_sq.py). Multi-device meshes route the
+        whole per-layer stack — incl. the reduce/recover array math —
+        through ONE shard_map over the active mesh, like the Conformer
         path."""
         from masr_tpu.ops.pallas import conformer_layer as cl
         from masr_tpu.ops.pallas.chunk_layer import chunk_layer_supported
@@ -487,9 +487,8 @@ class SqueezeformerEncoder(nn.Module):
                 and chunk % 2 == 0 and cache_size % 2 == 0
                 and cache_size >= chunk):
             return False
-        ok, mesh = fused_route_mesh(batch if batch is not None
-                                    else jax.device_count())
-        if not ok or mesh is not None:
+        if not fused_route_mesh(batch if batch is not None
+                                else jax.device_count())[0]:
             return False
         return chunk_layer_supported(
             chunk, cache_size, self.encoder_dim,
@@ -497,23 +496,41 @@ class SqueezeformerEncoder(nn.Module):
             self.attention_heads, self.dtype)
 
     def pack_chunk_params(self, tick=False, cache_size=None):
-        """Packed per-layer weights for the fused chunk kernel (BN folded
-        to affine from running stats — exact in eval). cache_size is
-        accepted for engine-call compatibility; there is no HBM
-        position-table route here (positions via one batched einsum per
-        layer)."""
+        """Packed weights for the fused chunk path (BN folded to affine
+        from running stats — exact in eval): {"layers": [(params, wpos)
+        per layer], "tr": stream-time-reduction weights, "rec": recover
+        Dense} — the reduce/recover weights ride along as plain arrays
+        so the whole per-layer stack can run inside ONE shard_map on
+        multi-device meshes (flax submodules can't be called inside a
+        JAX transform). cache_size is accepted for engine-call
+        compatibility; there is no HBM position-table route here."""
         from masr_tpu.ops.pallas.squeezeformer_layer import \
             pack_sq_layer_params
         assert not tick, "squeezeformer has no whole-tick megakernel"
         conv_ln = self.cnn_norm_type == "layer_norm"
-        out = []
+        layers = []
         for layer in self.encoders:
             p = pack_sq_layer_params(
                 layer.variables["params"],
                 layer.variables.get("batch_stats"), self.dtype,
                 adaptive_scale=self.adaptive_scale, conv_ln=conv_ln)
             wpos = p.pop("linear_pos")
-            out.append((p, wpos))
+            layers.append((p, wpos))
+        out = {"layers": layers}
+        if self.reduce_idx_list:
+            tr = self.time_reduction_layer.variables["params"]
+            rec = self.time_recover_layer.variables["params"]
+            cast = lambda w: jnp.asarray(w, self.dtype)
+            out["tr"] = {
+                # stream kind: depthwise k=1 s2 (kernel (1, 1, C)) + pw
+                "dw_w": cast(tr["dw_conv"]["kernel"]).reshape(1, 1, -1),
+                "dw_b": cast(tr["dw_conv"]["bias"]).reshape(1, 1, -1),
+                "pw_w": cast(tr["pw_conv"]["kernel"]).reshape(
+                    self.encoder_dim, self.encoder_dim),
+                "pw_b": cast(tr["pw_conv"]["bias"]).reshape(1, 1, -1),
+            }
+            out["rec"] = {"w": cast(rec["kernel"]),
+                          "b": cast(rec["bias"]).reshape(1, 1, -1)}
         return out
 
     def forward_chunk_batched(self, xs, offsets, att_cache, cnn_cache,
@@ -564,43 +581,73 @@ class SqueezeformerEncoder(nn.Module):
             packed = self.pack_chunk_params()
         conv_ln = self.cnn_norm_type == "layer_norm"
         xs = self.preln(xs)
-        new_att, new_cnn = [], []
-        recover_acts: List = []
-        index = 0
-        cur = xs
-        for i, layer in enumerate(self.encoders):
-            if i in self.reduce_idx_list:
-                recover_acts.append(cur)
-                cur = self.time_reduction_layer(cur, None)
-                index += 1
-            if i in self.recover_idx_list:
-                index -= 1
-                r_xs = recover_acts[index]
-                cur = jnp.repeat(cur, 2, axis=1)
-                cur = self.time_recover_layer(cur)
-                cur = r_xs + cur[:, : r_xs.shape[1], :]
-            factor = self.downsampling_factor(i)
-            p, wpos = packed[i]
-            if factor == 1:
-                cache_i, clens_i, pe = att_cache[i], cache_lens, pe_full
-            else:
-                cache_i = att_cache[i][:, :, 1::2, :]
-                clens_i = cache_lens // 2
-                pe = pe_half
-            posp = jnp.einsum("nld,de->nle", pe.astype(wpos.dtype), wpos,
-                              preferred_element_type=jnp.float32
-                              ).astype(pe.dtype)
-            cur, a, cc = fused_chunk_layer_sq(
-                cur, posp, cache_i, cnn_cache[i], clens_i, p,
-                n_head=self.attention_heads, ksize=self.cnn_module_kernel,
-                conv_ln=conv_ln, n_sub=n_sub)
-            if factor > 1:  # re-inflate to full resolution for storage
-                a = jnp.repeat(a, factor, axis=2)
-            new_att.append(a)
-            new_cnn.append(cc)
+        dt = self.dtype
+
+        def stack_fn(cur, pe_f, pe_h, att_c, cnn_c, clens, packs):
+            new_att, new_cnn = [], []
+            recover_acts = []
+            index = 0
+            for i in range(len(self.encoders)):
+                if i in self.reduce_idx_list:
+                    recover_acts.append(cur)
+                    # stream time reduction: depthwise k=1 s2 + pointwise
+                    # (TimeReductionLayer 'stream' — plain array math so
+                    # this runs inside shard_map)
+                    tr = packs["tr"]
+                    red = cur[:, ::2, :].astype(dt) * tr["dw_w"] \
+                        + tr["dw_b"]
+                    cur = (red.astype(dt) @ tr["pw_w"]) + tr["pw_b"]
+                    index += 1
+                if i in self.recover_idx_list:
+                    index -= 1
+                    r_xs = recover_acts[index]
+                    rec = packs["rec"]
+                    up = jnp.repeat(cur, 2, axis=1)
+                    up = (up.astype(dt) @ rec["w"]) + rec["b"]
+                    cur = r_xs + up[:, : r_xs.shape[1], :]
+                factor = self.downsampling_factor(i)
+                p, wpos = packs["layers"][i]
+                if factor == 1:
+                    cache_i, clens_i, pe = att_c[i], clens, pe_f
+                else:
+                    cache_i = att_c[i][:, :, 1::2, :]
+                    clens_i = clens // 2
+                    pe = pe_h
+                posp = jnp.einsum("nld,de->nle", pe.astype(wpos.dtype),
+                                  wpos, preferred_element_type=jnp.float32
+                                  ).astype(pe.dtype)
+                cur, a, cc = fused_chunk_layer_sq(
+                    cur, posp, cache_i, cnn_c[i], clens_i, p,
+                    n_head=self.attention_heads,
+                    ksize=self.cnn_module_kernel,
+                    conv_ln=conv_ln, n_sub=n_sub)
+                if factor > 1:  # re-inflate to full resolution for storage
+                    a = jnp.repeat(a, factor, axis=2)
+                new_att.append(a)
+                new_cnn.append(cc)
+            return cur, jnp.stack(new_att, 0), jnp.stack(new_cnn, 0)
+
+        from masr_tpu.parallel.mesh import fused_route_mesh
+        ok, mesh = fused_route_mesh(N)
+        if mesh is None:
+            cur, na, nc = stack_fn(xs, pe_full, pe_half, att_cache,
+                                   cnn_cache, cache_lens, packed)
+        else:
+            from jax.sharding import PartitionSpec as P
+            ax = tuple(mesh.axis_names)
+            # slots shard over every mesh axis; weights broadcast; caches
+            # shard on their slot dim (axis 1, after the layer dim)
+            cur, na, nc = jax.shard_map(
+                stack_fn, mesh=mesh,
+                in_specs=(P(ax), P(ax), P(ax), P(None, ax), P(None, ax),
+                          P(ax), P()),
+                out_specs=(P(ax), P(None, ax), P(None, ax)),
+                check_vma=False,
+            )(xs, pe_full, pe_half, att_cache, cnn_cache, cache_lens,
+              packed)
         if self.output_size != self.encoder_dim:
             cur = self.final_proj(cur)
-        return cur, jnp.stack(new_att, 0), jnp.stack(new_cnn, 0)
+        return cur, na, nc
 
 
 class SqueezeformerModel(ConformerModel):

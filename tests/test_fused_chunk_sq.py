@@ -194,3 +194,45 @@ def test_sq_engine_fused_matches_vmapped_transcripts(tmp_path):
             cl.FORCE_ON_CPU = False
     assert texts["fused"] == texts["vmapped"], texts
     assert texts["fused_k2"] == texts["vmapped"], texts
+
+
+def test_sq_fused_chunk_under_mesh_matches_single():
+    """With a registered active mesh the whole sq chunk stack (incl. the
+    reduce/recover array math) runs through ONE shard_map; outputs must
+    match the single-device fused route exactly."""
+    import masr_tpu.ops.pallas.conformer_layer as cl
+    from masr_tpu.parallel.mesh import active_mesh, make_mesh
+
+    model, variables = _make_model()
+    N, W, C = 8, 67, 32
+    rs = np.random.RandomState(11)
+    xs = jnp.asarray(rs.standard_normal((N, W, FEAT)) * 0.5, jnp.float32)
+    offsets = jnp.asarray([0, 16, 48, 8, 0, 32, 16, 64], jnp.int32)
+    cache_lens = jnp.minimum(offsets, C)
+    Lyr, h, d_k = ENC["num_blocks"], 2, 16
+    att = jnp.asarray(rs.standard_normal((Lyr, N, h, C, 2 * d_k)) * 0.3,
+                      jnp.float32)
+    cnn = jnp.asarray(rs.standard_normal((Lyr, N, 6, 32)) * 0.2,
+                      jnp.float32)
+    cl.FORCE_ON_CPU = True
+    try:
+        packed = model.apply(variables, False, C,
+                             method=type(model).pack_chunk_params)
+
+        def run(mod):
+            return mod.encoder.forward_chunk_batched(
+                xs, offsets, att, cnn, cache_lens, packed=packed)
+
+        y0, a0, c0 = model.apply(variables, method=run)
+        with active_mesh(make_mesh()):
+            assert model.apply(variables, 16, C, N,
+                               method=type(model).chunk_fused_ok)
+            y1, a1, c1 = model.apply(variables, method=run)
+    finally:
+        cl.FORCE_ON_CPU = False
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a0),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c0),
+                               rtol=1e-5, atol=1e-5)
