@@ -22,6 +22,20 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(autouse=True)
+def _clear_active_mesh():
+    """Trainer construction registers its mesh in the fused-routing
+    registry (trainer.py set_active_mesh) and tests that build a Trainer
+    would otherwise leak an 8-virtual-device mesh into later tests,
+    flipping fused-path divisibility checks (e.g. a B=3 fused chunk test
+    suddenly routes 3 % 8 → ineligible). Reset the registry around every
+    test; tests that want a mesh use the active_mesh context manager."""
+    from masr_tpu.parallel.mesh import set_active_mesh
+    set_active_mesh(None)
+    yield
+    set_active_mesh(None)
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(1234)
