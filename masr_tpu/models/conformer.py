@@ -465,8 +465,14 @@ class ConformerEncoder(nn.Module):
             "whole-tick megakernel has no multi-chunk variant"
         # packs with per-layer HBM position tables (pack_chunk_params
         # called with cache_size) route the in-kernel positions DMA: no
-        # (N, L, D) sinusoid + per-layer posp einsum per tick at all
-        use_table = not use_tick and len(packed[0]) == 3
+        # (N, L, D) sinusoid + per-layer posp einsum per tick at all.
+        # Mosaic needs the DMA start row provably 8-aligned, so the
+        # route additionally requires the per-window chunk size and the
+        # cache depth to be multiples of 8 (engine offsets advance by
+        # the chunk size); otherwise fall back to the posp einsum using
+        # the wpos the pack keeps alongside the table.
+        use_table = (not use_tick and len(packed[0]) == 3
+                     and chunk % (8 * n_sub) == 0 and C % 8 == 0)
         if use_table:
             pos_or_starts = clamp_pos_starts(offsets,
                                              packed[0][2].shape[0], L)
@@ -499,7 +505,7 @@ class ConformerEncoder(nn.Module):
                 if use_table:
                     posp, (p, _, ptab), starts = None, packs[i], pe
                 else:
-                    p, wpos = packs[i]
+                    p, wpos = packs[i][0], packs[i][1]
                     ptab, starts = None, None
                     # linear_pos as ONE batched einsum per layer —
                     # projecting per slot inside the kernel was the

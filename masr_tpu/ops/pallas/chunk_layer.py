@@ -72,9 +72,13 @@ def _kernel(*refs, n_head, d_k, ksize, ff_scale, eps, table=False,
     dmas = []
     if table:
         # start all slots' position DMAs up front; the macaron FFN below
-        # overlaps the copies
+        # overlaps the copies. Mosaic can only lower an HBM slice at a
+        # dynamic row when the start is provably sublane-aligned —
+        # engine offsets advance by the post-subsampling chunk size and
+        # the table route is gated on 8-divisibility (forward_chunk_
+        # batched), so the multiple_of assertion holds at runtime.
         for s in range(bs):
-            start = start_ref[g * bs + s]
+            start = pl.multiple_of(start_ref[g * bs + s], 8)
             dma = pltpu.make_async_copy(
                 tab_ref.at[pl.ds(start, L), :], pp_scr.at[s],
                 dma_sem.at[s])
@@ -251,7 +255,8 @@ def _kernel_q8(*refs, n_head, d_k, ksize, ff_scale, eps, table=False,
     dmas = []
     if table:
         for s in range(bs):
-            start = start_ref[g * bs + s]
+            # 8-aligned by the engine invariant — see _kernel
+            start = pl.multiple_of(start_ref[g * bs + s], 8)
             dma = pltpu.make_async_copy(
                 tab_ref.at[pl.ds(start, L), :], pp_scr.at[s],
                 dma_sem.at[s])
@@ -490,8 +495,16 @@ def make_chunk_pos_table(wpos, C, table_len=8192, dtype=jnp.bfloat16):
 
 
 def clamp_pos_starts(offsets, table_len, L):
-    """Per-slot DMA start rows into a make_chunk_pos_table table."""
-    return jnp.clip(offsets, 0, table_len - L).astype(jnp.int32)
+    """Per-slot DMA start rows into a make_chunk_pos_table table.
+    The freeze bound rounds DOWN to a multiple of 8: Mosaic lowers the
+    in-kernel HBM table slice only when the start row is provably
+    8-aligned (sublane tiling), so every reachable start must stay a
+    multiple of 8 — offsets are multiples of the post-subsampling chunk
+    size (the table route is gated on its 8-divisibility) and the clamp
+    must not break that. At the defaults (8192 − 272 = 7920) the bound
+    is unchanged."""
+    hi = (table_len - L) // 8 * 8
+    return jnp.clip(offsets, 0, hi).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=(

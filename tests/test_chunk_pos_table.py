@@ -76,7 +76,13 @@ def test_table_kernel_matches_posp_kernel(quant):
 def test_forward_chunk_batched_table_route_matches_einsum_route():
     """pack_chunk_params(cache_size=...) flips forward_chunk_batched to
     the table route; outputs must match the per-tick einsum route, and
-    offsets past the table cap must clamp instead of crashing."""
+    offsets past the table cap must clamp instead of crashing. Uses the
+    engine's real 67-frame window (embeds to 16 frames): Mosaic can only
+    lower the in-kernel table DMA for 8-aligned start rows, so the route
+    is gated on an 8-divisible post-subsampling chunk size (the old
+    71-frame/17-chunk shape in this test would REFUSE to compile on real
+    TPU hardware — it now falls back to the einsum route, checked in
+    test_table_pack_falls_back_on_unaligned_chunk)."""
     import masr_tpu.ops.pallas.conformer_layer as cl
     from masr_tpu.models.conformer import ConformerEncoder
 
@@ -89,7 +95,7 @@ def test_forward_chunk_batched_table_route_matches_einsum_route():
               cnn_module_norm="layer_norm")
     enc = ConformerEncoder(**KW)
     rs = np.random.RandomState(5)
-    N, chunk_in = 4, 16 * 4 + 7
+    N, chunk_in = 4, 16 * 4 + 3
     xs = jnp.asarray(rs.standard_normal((N, chunk_in, 80)), jnp.float32)
     v = enc.init({"params": jax.random.PRNGKey(0),
                   "dropout": jax.random.PRNGKey(0),
@@ -141,6 +147,63 @@ def test_forward_chunk_batched_table_route_matches_einsum_route():
         yf, _, _ = run_off(far)
         yc, _, _ = run_off(jnp.full((N,), TAB - L, jnp.int32))
         np.testing.assert_allclose(np.asarray(yf), np.asarray(yc),
+                                   rtol=1e-6, atol=1e-6)
+    finally:
+        cl.FORCE_ON_CPU = False
+
+
+def test_table_pack_falls_back_on_unaligned_chunk():
+    """A 71-frame window embeds to 17 frames — not 8-divisible, so the
+    in-kernel table DMA cannot be lowered (Mosaic requires provably
+    8-aligned start rows). forward_chunk_batched must then take the posp
+    einsum route using the wpos kept alongside the table, producing the
+    same outputs as a plain (table-free) pack."""
+    import masr_tpu.ops.pallas.conformer_layer as cl
+    from masr_tpu.models.conformer import ConformerEncoder
+
+    KW = dict(input_size=80, output_size=D, attention_heads=H,
+              linear_units=F, num_blocks=2, dropout_rate=0.0,
+              positional_dropout_rate=0.0, attention_dropout_rate=0.0,
+              input_layer="conv2d", pos_enc_layer_type="rel_pos",
+              normalize_before=True, use_cnn_module=True,
+              cnn_module_kernel=KS, causal=True,
+              cnn_module_norm="layer_norm")
+    enc = ConformerEncoder(**KW)
+    rs = np.random.RandomState(7)
+    N, chunk_in = 2, 16 * 4 + 7
+    xs = jnp.asarray(rs.standard_normal((N, chunk_in, 80)), jnp.float32)
+    v = enc.init({"params": jax.random.PRNGKey(0),
+                  "dropout": jax.random.PRNGKey(0),
+                  "chunk": jax.random.PRNGKey(0)},
+                 xs, jnp.full((N,), chunk_in, jnp.int32),
+                 decoding_chunk_size=0, num_decoding_left_chunks=-1,
+                 train=False)
+    offsets = jnp.asarray([0, 17], jnp.int32)
+    att = jnp.asarray(rs.standard_normal((2, N, H, C, 2 * d_k)) * 0.1,
+                      jnp.float32)
+    cnn = jnp.asarray(rs.standard_normal((2, N, KS - 1, D)) * 0.1,
+                      jnp.float32)
+    clens = jnp.minimum(offsets, C)
+
+    cl.FORCE_ON_CPU = True
+    try:
+        def run(table):
+            def body(m):
+                packed = m.pack_chunk_params(
+                    cache_size=C if table else None, pos_table_len=TAB)
+                if table:
+                    assert len(packed[0]) == 3
+                return m.forward_chunk_batched(xs, offsets, att, cnn,
+                                               clens, packed=packed)
+            return enc.apply(v, method=body)
+
+        y0, a0, c0 = run(False)
+        y1, a1, c1 = run(True)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a0),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(c1), np.asarray(c0),
                                    rtol=1e-6, atol=1e-6)
     finally:
         cl.FORCE_ON_CPU = False

@@ -35,12 +35,18 @@ def main():
         res = {}
         for name, kw in (("bf16/posp", dict(pos_tables=False)),
                          ("bf16/table", dict(pos_tables=True)),
+                         ("int8/posp", dict(pos_tables=False,
+                                            kv_int8=True)),
                          ("int8/table", dict(pos_tables=True,
                                              kv_int8=True)),
                          ("bf16/table/k2", dict(pos_tables=True, tick_k=2,
                                                 K=100)),
+                         ("bf16/posp/k4", dict(pos_tables=False, tick_k=4,
+                                               K=64)),
                          ("bf16/table/k4", dict(pos_tables=True, tick_k=4,
                                                 K=64)),
+                         ("int8/posp/k4", dict(pos_tables=False, tick_k=4,
+                                               kv_int8=True, K=64)),
                          ("int8/table/k4", dict(pos_tables=True, tick_k=4,
                                                 kv_int8=True, K=64))):
             try:
