@@ -504,6 +504,11 @@ def clamp_pos_starts(offsets, table_len, L):
     must not break that. At the defaults (8192 − 272 = 7920) the bound
     is unchanged."""
     hi = (table_len - L) // 8 * 8
+    if hi < 0:
+        raise ValueError(
+            f"position table too short: table_len={table_len} < window "
+            f"L={L} (C+c) — clamping would produce a negative DMA start "
+            f"row (out-of-bounds table read); bake a longer table")
     return jnp.clip(offsets, 0, hi).astype(jnp.int32)
 
 
@@ -523,7 +528,14 @@ def fused_chunk_layer(x, posp, att_cache, cnn_cache, cache_lens, params,
     Alternatively pass pos_table (make_chunk_pos_table) + starts
     (clamp_pos_starts) with posp=None: positions are then DMA'd per slot
     from the HBM table inside the kernel — no per-tick (B, L, D)
-    materialization at all.
+    materialization at all. Every `starts` element MUST be a multiple of
+    8: the in-kernel HBM slice start is an unchecked pl.multiple_of
+    compiler assertion (Mosaic sublane tiling), and an unaligned start on
+    real TPU silently reads wrong position rows. In-repo callers satisfy
+    this because offsets advance by the post-subsampling chunk size and
+    forward_chunk_batched gates the table route on its 8-divisibility;
+    external callers must align (clamp_pos_starts preserves alignment,
+    it does not create it).
     n_sub > 1 runs a MULTI-CHUNK TICK: x carries n_sub buffered
     sub-chunks of c/n_sub frames each, and the attention mask goes
     block-causal over them (each sub-chunk sees the C most recent frames
@@ -630,7 +642,8 @@ def fused_chunk_layer_q8(x, posp, att_cache, att_scale, cnn_cache,
     0..h-1, v rows h..2h-1). Halving the cache bytes roughly halves the
     per-grid-step DMA that bounds the tick (docs/streaming_roofline.md)
     and frees VMEM for a bigger slot block. pos_table/starts as in
-    fused_chunk_layer (in-kernel positions DMA, posp=None); n_sub as in
+    fused_chunk_layer (in-kernel positions DMA, posp=None; every starts
+    element MUST be 8-aligned — see fused_chunk_layer); n_sub as in
     fused_chunk_layer (multi-chunk tick, block-causal sub-chunk mask).
     → (y, new_att_cache int8, new_att_scale, new_cnn_cache)."""
     if interpret is None:
