@@ -50,6 +50,12 @@ FEAT = 80
 CHARS = list("你好天气真完我家业世界语音识别学习工作水火山石田土木金"
              "雨雪风云日月星光红绿蓝白黑大小多少上下左右")
 
+# extended set for the hard (non-saturating) operating point: a denser
+# formant space makes more char pairs acoustically confusable under noise
+CHARS_HARD = CHARS + list("春夏秋冬东南西北前后里外高低长短远近快慢新旧"
+                          "开关门窗车船飞机花草树林鸟鱼虫马牛羊猪狗猫"
+                          "一二三四五六七八九十百千万亿年月周时分秒")
+
 ENC_CONF = dict(output_size=48, attention_heads=2, linear_units=96,
                 num_blocks=2, cnn_module_kernel=7, dropout_rate=0.1,
                 attention_dropout_rate=0.0, positional_dropout_rate=0.1)
@@ -63,24 +69,42 @@ MODEL_CONF = dict(ctc_weight=0.3, lsm_weight=0.1, reverse_weight=0.0,
 LR, WARMUP, CLIP = 2e-3, 300, 5.0
 
 
-def make_corpus(n_train=320, n_test=48, seed=0, speakers=2):
-    """Deterministic sentences over CHARS; test sentences are unseen
-    sequences of seen characters."""
+def make_corpus(n_train=320, n_test=48, seed=0, speakers=2,
+                chars=None, len_lo=3, len_hi=7):
+    """Deterministic sentences over the char set; test sentences are
+    unseen sequences of seen characters."""
+    chars = chars or CHARS
     rs = np.random.RandomState(seed)
     seen = set()
     sents = []
     while len(sents) < n_train + n_test:
-        n = rs.randint(3, 7)
-        s = "".join(CHARS[i] for i in rs.randint(0, len(CHARS), n))
+        n = rs.randint(len_lo, len_hi)
+        s = "".join(chars[i] for i in rs.randint(0, len(chars), n))
         if s not in seen:
             seen.add(s)
             sents.append(s)
     return sents[:n_train], sents[n_train:]
 
 
-def featurize(sents, seed_base, speakers=2):
+def _add_noise(wav, snr_db, rs):
+    """Additive white noise at a controlled SNR vs the signal RMS —
+    the difficulty dial for the non-saturating operating point. Applied
+    to the waveform BEFORE fbank so both frameworks consume identical
+    noisy features (SNR draws are deterministic per utterance)."""
+    sig = np.sqrt(np.mean(np.square(wav)) + 1e-12)
+    noise = rs.standard_normal(wav.shape[0]).astype(np.float32)
+    noise *= float(sig / 10.0 ** (snr_db / 20.0))
+    out = wav + noise
+    peak = np.abs(out).max()
+    return (out / peak * 0.95).astype(np.float32) if peak > 1 else out
+
+
+def featurize(sents, seed_base, speakers=2, snr_db=None):
     """Render synthetic speech and fbank it (dither off → deterministic;
-    identical arrays feed both frameworks)."""
+    identical arrays feed both frameworks). snr_db: None = clean,
+    float = fixed SNR, (lo, hi) = per-utterance uniform draw
+    (deterministic in the utterance text)."""
+    import hashlib
     from masr_tpu.audio.synth_tts import SyntheticTTS
     from masr_tpu.data.audio_featurizer import AudioFeaturizer
     tts = SyntheticTTS(sample_rate=SR)
@@ -90,6 +114,12 @@ def featurize(sents, seed_base, speakers=2):
     out = []
     for i, s in enumerate(sents):
         wav = tts.render(s, spk_id=(seed_base + i) % speakers)
+        if snr_db is not None:
+            rs = np.random.RandomState(int.from_bytes(hashlib.md5(
+                f"noise|{s}|{seed_base}".encode()).digest()[:4], "little"))
+            snr = (rs.uniform(*snr_db) if isinstance(snr_db, tuple)
+                   else float(snr_db))
+            wav = _add_noise(wav, snr, rs)
         from masr_tpu.audio.segment import AudioSegment
         seg = AudioSegment(wav, SR)
         out.append(np.asarray(feat.featurize(seg), np.float32))
@@ -168,7 +198,7 @@ def _shim_reference():
         sys.path.insert(0, "/root/reference")
 
 
-def train_reference(batches, vocab, mean_istd_path, epochs, log):
+def train_reference(batches, vocab, mean_istd_path, epochs, log, seed=17):
     """The reference's ConformerModel + WarmupLR trained with the
     reference's step semantics (trainer.py:347-427)."""
     import torch
@@ -176,7 +206,7 @@ def train_reference(batches, vocab, mean_istd_path, epochs, log):
     _shim_reference()
     from masr.model_utils.conformer.model import ConformerModel
     from masr.optimizer.scheduler import WarmupLR
-    torch.manual_seed(17)
+    torch.manual_seed(seed)
     model = ConformerModel(
         input_dim=FEAT, vocab_size=len(vocab),
         mean_istd_path=mean_istd_path, streaming=True,
@@ -226,7 +256,7 @@ def reference_probs(model, batches):
 # ------------------------------------------------------------------ #
 
 
-def train_ours(batches, vocab, mean_istd_path, epochs, log):
+def train_ours(batches, vocab, mean_istd_path, epochs, log, seed=23):
     import jax
     import jax.numpy as jnp
     from masr_tpu.models.registry import build_model
@@ -240,7 +270,7 @@ def train_ours(batches, vocab, mean_istd_path, epochs, log):
         encoder_conf=dict(ENC_CONF), decoder_conf=dict(DEC_CONF),
         model_conf=dict(MODEL_CONF),
         cmvn=GlobalCMVN(np.asarray(ms["mean"]), np.asarray(ms["istd"])))
-    rng = jax.random.PRNGKey(23)
+    rng = jax.random.PRNGKey(seed)
     b0 = batches[0]
     variables = jax.jit(model.init, static_argnames=("train",))(
         {"params": rng, "dropout": rng, "chunk": rng},
@@ -256,7 +286,7 @@ def train_ours(batches, vocab, mean_istd_path, epochs, log):
                               variables.get("batch_stats"))
     train_step = jax.jit(make_train_step(model, tx))
     curves = []
-    step_rng = jax.random.PRNGKey(101)
+    step_rng = jax.random.PRNGKey(seed * 1000 + 101)
     for ep in range(epochs):
         losses = []
         for b in batches:
@@ -319,6 +349,17 @@ def main():
     ap.add_argument("--n_test", type=int, default=48)
     ap.add_argument("--skip", choices=["torch", "jax", "none"],
                     default="none", help="skip one side (debug)")
+    ap.add_argument("--seeds", default="17",
+                    help="comma list; each runs BOTH frameworks")
+    ap.add_argument("--hard", action="store_true",
+                    help="non-saturating operating point (VERDICT r3 "
+                         "item 1): dense char set, longer sentences, "
+                         "SNR-controlled noise")
+    ap.add_argument("--train_snr", default="-2:6",
+                    help="hard mode: per-utt uniform SNR dB range lo:hi")
+    ap.add_argument("--test_snr", type=float, default=0.0,
+                    help="hard mode: fixed test SNR dB")
+    ap.add_argument("--speakers", type=int, default=2)
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     logf = open(os.path.join(args.out, "log.txt"), "a")
@@ -329,11 +370,20 @@ def main():
         logf.flush()
 
     t0 = time.time()
-    train_s, test_s = make_corpus(args.n_train, args.n_test)
+    if args.hard:
+        chars, len_lo, len_hi = CHARS_HARD, 6, 13
+        tr_snr = tuple(float(v) for v in args.train_snr.split(":"))
+        te_snr = args.test_snr
+    else:
+        chars, len_lo, len_hi = CHARS, 3, 7
+        tr_snr = te_snr = None
+    train_s, test_s = make_corpus(args.n_train, args.n_test, chars=chars,
+                                  len_lo=len_lo, len_hi=len_hi)
     log(f"corpus: {len(train_s)} train / {len(test_s)} test sentences, "
-        f"{len(CHARS)} chars")
-    tr_feats = featurize(train_s, 0)
-    te_feats = featurize(test_s, 7)
+        f"{len(chars)} chars, hard={args.hard} "
+        f"(train_snr={tr_snr}, test_snr={te_snr})")
+    tr_feats = featurize(train_s, 0, speakers=args.speakers, snr_db=tr_snr)
+    te_feats = featurize(test_s, 7, speakers=args.speakers, snr_db=te_snr)
     vocab, c2i = build_vocab(train_s)
     mean_istd = write_mean_istd(tr_feats,
                                 os.path.join(args.out, "mean_istd.json"))
@@ -344,31 +394,52 @@ def main():
     log(f"features ready in {time.time() - t0:.1f}s; "
         f"maxT={max(f.shape[0] for f in tr_feats)}")
 
+    seeds = [int(s) for s in args.seeds.split(",")]
     report = {"config": {"enc": ENC_CONF, "dec": DEC_CONF,
                          "model": MODEL_CONF, "lr": LR, "warmup": WARMUP,
-                         "epochs": args.epochs,
-                         "n_train": args.n_train, "n_test": args.n_test}}
+                         "epochs": args.epochs, "seeds": seeds,
+                         "hard": args.hard, "train_snr": list(tr_snr or []),
+                         "test_snr": te_snr, "speakers": args.speakers,
+                         "n_chars": len(chars),
+                         "sent_len": [len_lo, len_hi - 1],
+                         "n_train": args.n_train, "n_test": args.n_test},
+              "masr_tpu": {"runs": []}, "reference": {"runs": []}}
     curves = {}
-    if args.skip != "jax":
-        jm, jstate, jcurve = train_ours(tr_batches, vocab, mean_istd,
-                                        args.epochs, log)
-        curves["jax"] = jcurve
-        jprobs = ours_probs(jm, jstate, te_batches)
-        g_cer, _ = decode_cer(jprobs, te_refs, vocab, beam=False)
-        b_cer, _ = decode_cer(jprobs, te_refs, vocab, beam=True)
-        report["masr_tpu"] = {"greedy_cer": g_cer, "beam_cer": b_cer,
-                              "final_loss": jcurve[-1]}
-        log(f"[jax]   test CER greedy={g_cer:.4f} beam={b_cer:.4f}")
-    if args.skip != "torch":
-        tm, tcurve = train_reference(tr_batches, vocab, mean_istd,
-                                     args.epochs, log)
-        curves["torch"] = tcurve
-        tprobs = reference_probs(tm, te_batches)
-        g_cer, _ = decode_cer(tprobs, te_refs, vocab, beam=False)
-        b_cer, _ = decode_cer(tprobs, te_refs, vocab, beam=True)
-        report["reference"] = {"greedy_cer": g_cer, "beam_cer": b_cer,
-                               "final_loss": tcurve[-1]}
-        log(f"[torch] test CER greedy={g_cer:.4f} beam={b_cer:.4f}")
+
+    def finish(side, probs, seed, curve):
+        g_cer, _ = decode_cer(probs, te_refs, vocab, beam=False)
+        b_cer, _ = decode_cer(probs, te_refs, vocab, beam=True)
+        report[side]["runs"].append(
+            {"seed": seed, "greedy_cer": g_cer, "beam_cer": b_cer,
+             "final_loss": curve[-1]})
+        log(f"[{side}] seed={seed} test CER "
+            f"greedy={g_cer:.4f} beam={b_cer:.4f}")
+
+    for seed in seeds:
+        if args.skip != "jax":
+            jm, jstate, jcurve = train_ours(tr_batches, vocab, mean_istd,
+                                            args.epochs, log, seed=seed)
+            curves[f"jax_s{seed}"] = jcurve
+            finish("masr_tpu", ours_probs(jm, jstate, te_batches),
+                   seed, jcurve)
+        if args.skip != "torch":
+            tm, tcurve = train_reference(tr_batches, vocab, mean_istd,
+                                         args.epochs, log, seed=seed)
+            curves[f"torch_s{seed}"] = tcurve
+            finish("reference", reference_probs(tm, te_batches),
+                   seed, tcurve)
+
+    for side in ("masr_tpu", "reference"):
+        runs = report[side]["runs"]
+        if not runs:
+            continue
+        for kind in ("greedy_cer", "beam_cer"):
+            vals = np.array([r[kind] for r in runs])
+            report[side][kind + "_mean"] = float(vals.mean())
+            report[side][kind + "_std"] = float(vals.std(ddof=1)
+                                                if len(vals) > 1 else 0.0)
+            report[side][kind + "_range"] = [float(vals.min()),
+                                             float(vals.max())]
     report["wall_s"] = round(time.time() - t0, 1)
     with open(os.path.join(args.out, "report.json"), "w") as f:
         json.dump(report, f, indent=2)
