@@ -86,7 +86,8 @@ def init_vars(model):
 
 
 def bench_stream_scan(model, variables, batch, K, fused=False,
-                      kv_int8=False, pos_tables=True, tick_k=1):
+                      kv_int8=False, pos_tables=True, tick_k=1,
+                      ring=False):
     """Scanned chunk stream: K distinct steps in one dispatch →
     (per_step_s, flops_per_step). fused=True uses the batched fused
     chunk step (ops/pallas/chunk_layer.py) — the path the batched
@@ -96,24 +97,31 @@ def bench_stream_scan(model, variables, batch, K, fused=False,
     the cache DMA that bounds the tick, docs/streaming_roofline.md).
     tick_k>1 benches MULTI-CHUNK ticks (k buffered windows per slot per
     dispatch, block-causal sub-chunk mask — engine tick_chunks knob):
-    each step then covers k× the audio."""
+    each step then covers k× the audio. ring=True benches the
+    RING-buffer cache route (write only the fresh rows; the engine's
+    default wherever eligible — docs/streaming_roofline.md r4 lever)."""
     import jax
     import jax.numpy as jnp
     cache_size = CHUNK * 16
     packed = None
     if fused:
-        ckw = dict(batch=1, cache_size=cache_size)
-        if kv_int8:          # conformer-only kwarg
-            ckw["kv_int8"] = True
-        tmpl = model.apply(variables,
-                           method=lambda m: m.encoder.init_cache(**ckw))
-        state = jax.tree.map(lambda x: jnp.stack([x] * batch), tmpl)
+        if ring:
+            state = model.apply(
+                variables, method=lambda m: m.encoder.init_cache(
+                    batch=batch, cache_size=cache_size, ring=True))
+        else:
+            ckw = dict(batch=1, cache_size=cache_size)
+            if kv_int8:          # conformer-only kwarg
+                ckw["kv_int8"] = True
+            tmpl = model.apply(variables,
+                               method=lambda m: m.encoder.init_cache(**ckw))
+            state = jax.tree.map(lambda x: jnp.stack([x] * batch), tmpl)
         method = type(model).get_encoder_out_chunk_batched
         # pack ONCE with the per-layer position tables, exactly like the
         # serving engine (batch_stream.py) — repacking in-trace costs
         # ~60 MB of stacking traffic per tick
         packed = jax.device_put(model.apply(
-            variables, False, cache_size if pos_tables else None,
+            variables, cache_size if pos_tables else None,
             method=type(model).pack_chunk_params))
     else:
         state = model.apply(variables, method=lambda m: m.encoder.init_cache(
@@ -352,24 +360,42 @@ def main():
     serving = {}
     for B in (32, 128):
         per_step = flops = None
-        for attempt in ((dict(fused=True, pos_tables=True),
+        route = None
+        # ring-buffer caches first (the engine's default where eligible),
+        # then the roll-and-rewrite fused fallbacks, then vmapped
+        for attempt in ((dict(fused=True, pos_tables=True, ring=True),
+                         dict(fused=True, pos_tables=True),
                          dict(fused=True, pos_tables=False),
                          dict(fused=False)) if use_fused_chunk
                         else (dict(fused=False),)):
             try:
                 per_step, flops = bench_stream_scan(
                     model_bf16, vars_bf16, batch=B, K=200, **attempt)
+                route = "ring" if attempt.get("ring") else (
+                    "fused" if attempt.get("fused") else "vmapped")
                 break
             except Exception as e:
                 log(f"serving B={B} {attempt} failed: {e}")
         streams_rtf = B * AUDIO_PER_CHUNK / per_step
         serving[B] = dict(ms=per_step * 1e3,
                           rtf=streams_rtf,
-                          mfu=mfu(flops, per_step, peak))
-        log(f"batched streaming B={B} (bf16"
-            f"{', fused chunk step' if use_fused_chunk else ''}): "
+                          mfu=mfu(flops, per_step, peak), route=route)
+        log(f"batched streaming B={B} (bf16, {route} chunk step): "
             f"{per_step * 1e3:.2f} ms/step, "
             f"{streams_rtf:.0f}x realtime/chip, MFU {serving[B]['mfu']}")
+        if route == "ring":
+            # roll-and-rewrite ablation alongside (the r3 default)
+            try:
+                ps2, _ = bench_stream_scan(model_bf16, vars_bf16, batch=B,
+                                           K=200, fused=True,
+                                           pos_tables=True)
+                serving[B]["roll_ms"] = ps2 * 1e3
+                serving[B]["roll_rtf"] = B * AUDIO_PER_CHUNK / ps2
+                log(f"batched streaming B={B} (bf16, roll-cache ablation): "
+                    f"{ps2 * 1e3:.2f} ms/step, "
+                    f"{serving[B]['roll_rtf']:.0f}x realtime/chip")
+            except Exception as e:
+                log(f"roll ablation B={B} failed: {e}")
     # int8 KV caches (engine kv_cache='int8'): half the cache DMA that
     # bounds the tick (docs/streaming_roofline.md)
     serving_q8 = {}
@@ -401,12 +427,16 @@ def main():
         except Exception:
             pass
         for B in ((32, 128) if multi_ok else ()):
-            try:
-                per_step, _ = bench_stream_scan(model_bf16, vars_bf16,
-                                                batch=B, K=64, fused=True,
-                                                tick_k=TICK_K)
-            except Exception as e:
-                log(f"multi-chunk serving B={B} unavailable: {e}")
+            per_step = None
+            for rkw in (dict(ring=True), dict()):
+                try:
+                    per_step, _ = bench_stream_scan(
+                        model_bf16, vars_bf16, batch=B, K=64, fused=True,
+                        tick_k=TICK_K, **rkw)
+                    break
+                except Exception as e:
+                    log(f"multi-chunk serving B={B} {rkw} unavailable: {e}")
+            if per_step is None:
                 break
             streams_rtf = B * TICK_K * AUDIO_PER_CHUNK / per_step
             serving_multi[B] = dict(ms=per_step * 1e3, rtf=streams_rtf,
@@ -582,6 +612,11 @@ def main():
         "serving_b32_mfu": serving[32]["mfu"],
         "serving_b128_rtf": round(serving[128]["rtf"], 1),
         "serving_b128_mfu": serving[128]["mfu"],
+        "serving_route": serving[32].get("route"),
+        "serving_b32_roll_rtf": (round(serving[32]["roll_rtf"], 1)
+                                 if "roll_rtf" in serving[32] else None),
+        "serving_b128_roll_rtf": (round(serving[128]["roll_rtf"], 1)
+                                  if "roll_rtf" in serving[128] else None),
         "serving_b32_int8_rtf":
             round(serving_q8[32]["rtf"], 1) if 32 in serving_q8 else None,
         "serving_b128_int8_rtf":

@@ -89,6 +89,19 @@ class BatchStreamSession(object):
                 ok = False
             if ok:
                 self.tick_k = int(tick_chunks)
+        # ring-buffer att caches (bf16 fused path, single device): the
+        # kernels write only the c fresh rows per tick and the caches
+        # never round-trip through XLA — docs/streaming_roofline.md
+        ring = False
+        if use_fused and not kv_int8 \
+                and hasattr(type(model), "chunk_ring_ok"):
+            try:
+                ring = bool(model.apply(
+                    variables, DECODING_CHUNK_SIZE, self.ip.cache_size,
+                    max_streams, method=type(model).chunk_ring_ok))
+            except Exception:
+                ring = False
+        self._ring = ring
         if self.ip.use_model == "deepspeech2":
             template = model.apply(variables,
                                    method=lambda m: m.init_cache(batch=1))
@@ -96,34 +109,26 @@ class BatchStreamSession(object):
             template = model.apply(
                 variables, method=lambda m: m.encoder.init_cache(
                     batch=1, cache_size=self.ip.cache_size, kv_int8=True))
+        elif ring:
+            template = None     # ring leaves init at full N, no stacking
+            self.states = jax.device_put(model.apply(
+                variables, method=lambda m: m.encoder.init_cache(
+                    batch=max_streams, cache_size=self.ip.cache_size,
+                    ring=True)))
         else:
             template = model.apply(
                 variables, method=lambda m: m.encoder.init_cache(
                     batch=1, cache_size=self.ip.cache_size))
         self._template = template
-        self.states = jax.tree.map(
-            lambda x: jnp.stack([x] * max_streams), template)
-        # whole-tick megakernel when supported (one pallas_call for all
-        # layers instead of one per layer — the per-layer path is
-        # launch/DMA-floor-bound, ops/pallas/chunk_tick.py); no int8
-        # variant exists, so the quantized cache keeps the per-layer path
-        use_tick = False
-        if use_fused and not kv_int8 and self.tick_k == 1 \
-                and hasattr(type(model), "chunk_tick_ok"):
-            try:
-                use_tick = bool(model.apply(
-                    variables, DECODING_CHUNK_SIZE, self.ip.cache_size,
-                    max_streams, method=type(model).chunk_tick_ok))
-            except Exception:
-                use_tick = False
-        self._use_chunk_tick = use_tick
+        if not ring:
+            self.states = jax.tree.map(
+                lambda x: jnp.stack([x] * max_streams), template)
         # weights packed ONCE for the fused kernel (repacking in-trace
-        # would cost ~60 MB of stacking traffic on every tick); non-tick
-        # packs include the per-layer HBM position tables (in-kernel
-        # positions DMA — no per-tick sinusoid/einsum)
+        # would cost ~60 MB of stacking traffic on every tick); packs
+        # include the per-layer HBM position tables (in-kernel positions
+        # DMA — no per-tick sinusoid/einsum)
         self._packed_chunk = jax.device_put(model.apply(
-            variables, use_tick,
-            None if use_tick else self.ip.cache_size,
+            variables, self.ip.cache_size,
             method=type(model).pack_chunk_params)) \
             if use_fused else None
 
@@ -133,15 +138,33 @@ class BatchStreamSession(object):
                 # multi-chunk tick stays 4-D (block-causal sub-chunks)
                 inp = xs[:, 0] if xs.shape[1] == 1 else xs
                 probs, new_states = model.apply(
+                    variables, inp, states, packed, active,
+                    method=type(model).get_encoder_out_chunk_batched) \
+                    if ring else model.apply(
                     variables, inp, states, packed,
                     method=type(model).get_encoder_out_chunk_batched)
             else:
                 probs4, new_states = vstep(variables, xs, states)
                 probs = probs4[:, 0]
-            merged = jax.tree.map(
-                lambda new, old: jnp.where(
-                    active.reshape((-1,) + (1,) * (new.ndim - 1)), new, old),
-                new_states, states)
+            if ring:
+                # att ring buffers are kernel-managed in place (inactive
+                # slots were skipped by the conditional DMA): pass them
+                # through; cnn is (L, N, …) — mask on the slot axis
+                merged = {
+                    "att_cache": new_states["att_cache"],
+                    "cnn_cache": jnp.where(
+                        active.reshape(1, -1, 1, 1),
+                        new_states["cnn_cache"], states["cnn_cache"]),
+                }
+                for key in ("offset", "cache_len", "wptr"):
+                    merged[key] = jnp.where(active, new_states[key],
+                                            states[key])
+            else:
+                merged = jax.tree.map(
+                    lambda new, old: jnp.where(
+                        active.reshape((-1,) + (1,) * (new.ndim - 1)),
+                        new, old),
+                    new_states, states)
             return probs, merged  # (N, CH, V)
 
         self._dec_state = None
@@ -167,7 +190,12 @@ class BatchStreamSession(object):
                                             fv[:, : probs.shape[1]])
                 return best, merged, dec_state
 
-            self._step_beam = jax.jit(step_beam)
+            # ring mode: donate the state pytree so the aliased ring
+            # buffers update truly in place across ticks (without
+            # donation XLA copies the caches to preserve the caller's
+            # buffers — exactly the write traffic ring mode removes)
+            self._step_beam = jax.jit(step_beam,
+                                      donate_argnums=(2,) if ring else ())
 
             def reset_dec(dec_state, fresh, mask):
                 return jax.tree.map(
@@ -184,7 +212,8 @@ class BatchStreamSession(object):
                 maxp = jnp.max(probs, axis=-1).astype(jnp.float32)
                 return ids, maxp, merged  # (N, CH) each
 
-            self._step_greedy = jax.jit(step_greedy)
+            self._step_greedy = jax.jit(step_greedy,
+                                        donate_argnums=(2,) if ring else ())
 
         # per-slot host state
         self._cached_feat = [None] * max_streams
@@ -213,8 +242,17 @@ class BatchStreamSession(object):
             self._dec_state = self._reset_dec(self._dec_state,
                                               self._dec_fresh,
                                               jnp.asarray(mask))
-        self.states = jax.tree.map(
-            lambda s, t: s.at[slot].set(t), self.states, self._template)
+        if self._ring:
+            # cache_len = 0 masks every ring row, so the att buffers need
+            # no zeroing (rewriting them would copy ~whole-cache bytes)
+            s = dict(self.states)
+            s["cnn_cache"] = s["cnn_cache"].at[:, slot].set(0)
+            for key in ("offset", "cache_len", "wptr"):
+                s[key] = s[key].at[slot].set(0)
+            self.states = s
+        else:
+            self.states = jax.tree.map(
+                lambda s, t: s.at[slot].set(t), self.states, self._template)
 
     # ------------------------------------------------------------------ #
     def _ids_to_text(self, ids):

@@ -415,7 +415,8 @@ class ConformerEncoder(nn.Module):
                                      self.attention_heads, self.dtype)
 
     def forward_chunk_batched(self, xs, offsets, att_cache, cnn_cache,
-                              cache_lens, packed=None, att_scale=None):
+                              cache_lens, packed=None, att_scale=None,
+                              wptrs=None, active=None):
         """Batched streaming chunk step with PER-SLOT offsets/validity —
         the fused-kernel analogue of vmapping forward_chunk (one
         pallas_call per layer; see ops/pallas/chunk_layer.py).
@@ -426,6 +427,14 @@ class ConformerEncoder(nn.Module):
         is int8 with per-row scales and the tick runs the quantized
         kernel (fused_chunk_layer_q8: half the cache DMA, bigger slot
         blocks — docs/streaming_roofline.md).
+        wptrs + active (optional): RING-BUFFER att caches — att_cache is
+        then a TUPLE of L per-layer (N, h, C, 2·d_k) ring arrays (row
+        wptr[s] = oldest cached frame of slot s); each layer's kernel
+        writes only its c fresh rows back (aliased buffers: inputs are
+        consumed) and inactive slots' rings stay untouched. The returned
+        att caches are the aliased buffers as a tuple — callers advance
+        wptrs by the chunk size (mod C) for active slots and must NOT
+        where()-merge these leaves.
         MULTI-CHUNK TICK: xs may be (N, k, T_in, input_size) — k buffered
         standard windows per slot, processed in ONE dispatch with a
         block-causal sub-chunk mask; bit-equivalent to k sequential calls
@@ -452,17 +461,15 @@ class ConformerEncoder(nn.Module):
             xs = xs.reshape(xs.shape[0] // n_sub, n_sub * xs.shape[1],
                             xs.shape[2])
         N, chunk = xs.shape[0], xs.shape[1]
-        C = att_cache.shape[3]
+        ring = wptrs is not None
+        C = att_cache[0].shape[2] if ring else att_cache.shape[3]
         L = C + chunk
         if packed is None:
             packed = self.pack_chunk_params()
         l0 = self.encoders[0]
         quant = att_scale is not None
-        use_tick = isinstance(packed, dict)
-        assert not (quant and use_tick), \
-            "whole-tick megakernel has no int8-cache variant"
-        assert not (use_tick and n_sub > 1), \
-            "whole-tick megakernel has no multi-chunk variant"
+        assert not (ring and quant), \
+            "ring caches exist for the bf16 per-layer kernel only"
         # packs with per-layer HBM position tables (pack_chunk_params
         # called with cache_size) route the in-kernel positions DMA: no
         # (N, L, D) sinusoid + per-layer posp einsum per tick at all.
@@ -471,7 +478,7 @@ class ConformerEncoder(nn.Module):
         # cache depth to be multiples of 8 (engine offsets advance by
         # the chunk size); otherwise fall back to the posp einsum using
         # the wpos the pack keeps alongside the table.
-        use_table = (not use_tick and len(packed[0]) == 3
+        use_table = (len(packed[0]) == 3
                      and chunk % (8 * n_sub) == 0 and C % 8 == 0)
         if use_table:
             pos_or_starts = clamp_pos_starts(offsets,
@@ -482,24 +489,12 @@ class ConformerEncoder(nn.Module):
             pos_or_starts = sinusoid_position_encoding(
                 positions.reshape(-1), self.output_size,
                 self.dtype).reshape(N, L, self.output_size)
-        if use_tick:
-            from masr_tpu.ops.pallas.chunk_tick import fused_chunk_tick
 
         def stack_fn(*a):
             if quant:
                 x, pe, att_c, sc_c, cnn_c, clens, packs = a
             else:
                 x, pe, att_c, cnn_c, clens, packs = a
-            if use_tick:
-                # whole-tick megakernel: ONE pallas_call for all layers
-                posp = jnp.einsum(
-                    "nld,kde->knle", pe.astype(packs["wpos"].dtype),
-                    packs["wpos"],
-                    preferred_element_type=jnp.float32).astype(pe.dtype)
-                return fused_chunk_tick(
-                    x, posp, att_c, cnn_c, clens, packs["stacked"],
-                    n_head=self.attention_heads,
-                    ksize=self.cnn_module_kernel, ff_scale=l0.ff_scale)
             new_att, new_sc, new_cnn = [], [], []
             for i in range(len(self.encoders)):
                 if use_table:
@@ -525,6 +520,7 @@ class ConformerEncoder(nn.Module):
                     x, a, cn = fused_chunk_layer(
                         x, posp, att_c[i], cnn_c[i], clens,
                         p, None, ptab, starts,
+                        wptrs if ring else None, active if ring else None,
                         n_head=self.attention_heads,
                         ksize=self.cnn_module_kernel, ff_scale=l0.ff_scale,
                         n_sub=n_sub)
@@ -533,9 +529,15 @@ class ConformerEncoder(nn.Module):
             if quant:
                 return (x, jnp.stack(new_att, 0), jnp.stack(new_sc, 0),
                         jnp.stack(new_cnn, 0))
+            if ring:
+                # aliased ring buffers stay per-layer leaves (stacking
+                # would copy them and break the in-place semantics)
+                return x, tuple(new_att), jnp.stack(new_cnn, 0)
             return x, jnp.stack(new_att, 0), jnp.stack(new_cnn, 0)
 
         ok, mesh = self._fused_mesh(N)
+        assert not (ring and mesh is not None), \
+            "ring caches are single-device (no GSPMD aliasing route)"
         if mesh is None:
             out = stack_fn(*((xs, pos_or_starts, att_cache, att_scale,
                               cnn_cache, cache_lens, packed) if quant else
@@ -570,63 +572,52 @@ class ConformerEncoder(nn.Module):
             return xs, att_cache, att_scale, cnn_cache
         return xs, att_cache, cnn_cache
 
-    def pack_chunk_params(self, tick=False, cache_size=None,
-                          pos_table_len=8192):
+    def pack_chunk_params(self, cache_size=None, pos_table_len=8192):
         """Packed weight pytree for the fused chunk kernels — computed
         ONCE at session init and passed through each tick (repacking
         in-trace costs ~60 MB of stacking HBM traffic per call at
-        production size). tick=True returns the stacked layout for the
-        whole-tick megakernel (ops/pallas/chunk_tick.py). cache_size
-        (non-tick) additionally bakes per-layer HBM position tables
-        (ops/pallas/chunk_layer.make_chunk_pos_table): the kernels then
-        DMA each slot's position window in place of the per-tick
-        (N, L, D) sinusoid + per-layer posp einsum. Sessions longer than
-        pos_table_len - cache_size - chunk frames clamp (positions
-        freeze) — the reference crashes at 5000 frames outright
-        (conformer/embedding.py:50,70)."""
+        production size). cache_size additionally bakes per-layer HBM
+        position tables (ops/pallas/chunk_layer.make_chunk_pos_table):
+        the kernels then DMA each slot's position window in place of the
+        per-tick (N, L, D) sinusoid + per-layer posp einsum. Sessions
+        longer than pos_table_len - cache_size - chunk frames clamp
+        (positions freeze) — the reference crashes at 5000 frames
+        outright (conformer/embedding.py:50,70)."""
         from masr_tpu.ops.pallas.conformer_layer import pack_layer_params
         from masr_tpu.ops.pallas.chunk_layer import make_chunk_pos_table
         out = []
         for layer in self.encoders:
             p = pack_layer_params(layer.variables["params"], self.dtype)
             wpos = p.pop("linear_pos")
-            if tick or cache_size is None:
+            if cache_size is None:
                 out.append((p, wpos))
             else:
                 ptab = make_chunk_pos_table(wpos, cache_size,
                                             pos_table_len, self.dtype)
                 out.append((p, wpos, ptab))
-        if tick:
-            from masr_tpu.ops.pallas.chunk_tick import stack_tick_params
-            stacked, wpos_stack = stack_tick_params(out)
-            return {"stacked": stacked, "wpos": wpos_stack}
         return out
 
-    def chunk_tick_eligible(self, chunk, cache_size, batch):
-        """Whether the batched chunk step can take the whole-tick
-        megakernel (implies fused_chunk_eligible). On real TPU the tick
-        kernel is OPT-IN for now (MASR_TPU_CHUNK_TICK=1): its Mosaic
-        compile through this box's remote-compile tunnel measured >10
-        minutes, unacceptable as a default until the compile cost and
-        the runtime win are both characterized (CPU interpret tests keep
-        exercising it for parity)."""
-        import os
-        from masr_tpu.ops.pallas.chunk_tick import tick_supported
-        if not self.fused_chunk_eligible(chunk, cache_size, batch):
-            return False
-        if jax.default_backend() == "tpu" and \
-                not os.environ.get("MASR_TPU_CHUNK_TICK"):
-            return False
-        return tick_supported(chunk, cache_size, self.output_size,
-                              self.linear_units, self.attention_heads,
-                              batch, self.dtype)
-
     def init_cache(self, batch=1, cache_size=None, chunk_size=16,
-                   num_left_chunks=16, kv_int8=False):
+                   num_left_chunks=16, kv_int8=False, ring=False):
         """Zeroed streaming cache pytree. kv_int8=True lays the attention
         cache out as int8 + per-row f32 scales for the quantized fused
-        chunk kernel (fused_chunk_layer_q8) — batched-engine only."""
+        chunk kernel (fused_chunk_layer_q8) — batched-engine only.
+        ring=True lays the attention cache out as per-layer RING buffers
+        (a tuple of L (batch, h, C, 2·d_k) arrays + per-slot 'wptr')
+        for the ring-write fused kernel — batched-engine only; leaves are
+        already batch-leading at the full slot count (no stacking)."""
         C = cache_size if cache_size is not None else chunk_size * num_left_chunks
+        if ring:
+            assert not kv_int8, "ring caches are bf16-only"
+            att = tuple(
+                jnp.zeros((batch, self.attention_heads, C, 2 * self.d_k),
+                          self.dtype) for _ in range(self.num_blocks))
+            cnn = jnp.zeros((self.num_blocks, batch, max(self.lorder, 1),
+                             self.output_size), self.dtype)
+            return {"att_cache": att, "cnn_cache": cnn,
+                    "offset": jnp.zeros((batch,), jnp.int32),
+                    "cache_len": jnp.zeros((batch,), jnp.int32),
+                    "wptr": jnp.zeros((batch,), jnp.int32)}
         att = jnp.zeros((self.num_blocks, batch, self.attention_heads, C,
                          2 * self.d_k), jnp.int8 if kv_int8 else self.dtype)
         cnn = jnp.zeros((self.num_blocks, batch, max(self.lorder, 1),
@@ -639,6 +630,16 @@ class ConformerEncoder(nn.Module):
                 (self.num_blocks, batch, 2 * self.attention_heads, C),
                 jnp.float32)
         return out
+
+    def ring_chunk_eligible(self, chunk, cache_size, batch):
+        """Whether the batched chunk step can run ring-buffer att caches:
+        fused path, single-device (no GSPMD aliasing), 8-aligned chunk,
+        cache a multiple of the chunk (writes never wrap mid-copy)."""
+        if not self.fused_chunk_eligible(chunk, cache_size, batch):
+            return False
+        if self._fused_mesh(batch)[1] is not None:
+            return False
+        return (chunk % 8 == 0 and cache_size % chunk == 0)
 
 
 class ConformerModel(nn.Module):
@@ -770,27 +771,51 @@ class ConformerModel(nn.Module):
                 and self.encoder.fused_chunk_eligible(chunk, cache_size,
                                                       batch))
 
-    def pack_chunk_params(self, tick=False, cache_size=None):
+    def pack_chunk_params(self, cache_size=None):
         """→ packed weights for the fused chunk step (compute once at
-        session init, pass to get_encoder_out_chunk_batched); tick=True
-        gives the whole-tick megakernel layout; cache_size bakes the
-        per-layer HBM position tables (in-kernel positions DMA)."""
-        return self.encoder.pack_chunk_params(tick, cache_size=cache_size)
+        session init, pass to get_encoder_out_chunk_batched); cache_size
+        bakes the per-layer HBM position tables (in-kernel positions
+        DMA)."""
+        return self.encoder.pack_chunk_params(cache_size=cache_size)
 
-    def chunk_tick_ok(self, chunk, cache_size, batch):
-        """Static check: can the batched chunk step run as ONE whole-tick
-        megakernel (ops/pallas/chunk_tick.py)?"""
+    def chunk_ring_ok(self, chunk, cache_size, batch):
+        """Static check: can the batched chunk step run RING-BUFFER att
+        caches (write c fresh rows per tick instead of all C —
+        ops/pallas/chunk_layer.py ring mode)?"""
         return (type(self.encoder) is ConformerEncoder
-                and self.encoder.chunk_tick_eligible(chunk, cache_size,
+                and self.encoder.ring_chunk_eligible(chunk, cache_size,
                                                      batch))
 
-    def get_encoder_out_chunk_batched(self, speech, state, packed=None):
+    def get_encoder_out_chunk_batched(self, speech, state, packed=None,
+                                      active=None):
         """Batched streaming chunk step over N slots with per-slot
         offsets/cache validity (the batch engine's stacked-state layout:
         every leaf leads with N; caches carry the per-slot batch=1 axis).
         Semantically identical to vmapping get_encoder_out_chunk, but
         runs ONE fused pallas_call per layer (ops/pallas/chunk_layer.py)
-        instead of ~20 small XLA ops."""
+        instead of ~20 small XLA ops.
+        RING layout (state has 'wptr'; init_cache(ring=True)): att_cache
+        is a tuple of per-layer (N, h, C, 2·d_k) ring buffers and
+        cnn_cache is (L, N, lorder, D) — the caches never round-trip
+        through XLA (no transposes/stack), the kernels write only the
+        fresh rows in place, and `active` (N,) bool gates the writes.
+        Callers must NOT where()-merge the returned att_cache leaves and
+        must treat the input state's att buffers as consumed."""
+        if "wptr" in state:
+            ys, new_att, new_cnn = self.encoder.forward_chunk_batched(
+                speech, state["offset"], state["att_cache"],
+                state["cnn_cache"], state["cache_len"], packed=packed,
+                wptrs=state["wptr"],
+                active=(jnp.ones_like(state["wptr"], bool)
+                        if active is None else active))
+            chunk = ys.shape[1]
+            C = state["att_cache"][0].shape[2]
+            new_state = {
+                "att_cache": new_att, "cnn_cache": new_cnn,
+                "offset": state["offset"] + chunk,
+                "cache_len": jnp.minimum(state["cache_len"] + chunk, C),
+                "wptr": jax.lax.rem(state["wptr"] + chunk, C)}
+            return self.ctc.softmax(ys), new_state
         att = state["att_cache"]            # (N, L, 1, h, C, 2·d_k)
         cnn = state["cnn_cache"]            # (N, L, 1, lorder, D)
         C = att.shape[4]

@@ -495,7 +495,7 @@ class SqueezeformerEncoder(nn.Module):
             self.encoder_dim * self.feed_forward_expansion_factor,
             self.attention_heads, self.dtype)
 
-    def pack_chunk_params(self, tick=False, cache_size=None):
+    def pack_chunk_params(self, cache_size=None):
         """Packed weights for the fused chunk path (BN folded to affine
         from running stats — exact in eval): {"layers": [(params, wpos)
         per layer], "tr": stream-time-reduction weights, "rec": recover
@@ -506,7 +506,6 @@ class SqueezeformerEncoder(nn.Module):
         compatibility; there is no HBM position-table route here."""
         from masr_tpu.ops.pallas.squeezeformer_layer import \
             pack_sq_layer_params
-        assert not tick, "squeezeformer has no whole-tick megakernel"
         conv_ln = self.cnn_norm_type == "layer_norm"
         layers = []
         for layer in self.encoders:

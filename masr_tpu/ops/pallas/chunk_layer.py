@@ -45,31 +45,53 @@ def _sub_chunk_mask_parts(n_head, c, L, C, n_sub):
 
 
 def _kernel(*refs, n_head, d_k, ksize, ff_scale, eps, table=False,
-            n_sub=1):
+            n_sub=1, ring=False):
+    # table: positions DMA'd per slot from an HBM-resident per-layer
+    # projected table (rows i = linear_pos(sinusoid(max(i - C, 0))) —
+    # row o+j IS the required position max(o-C+j, 0) for any o ≥ 0, so
+    # one contiguous window per slot is exact; see make_chunk_pos_table).
+    # Saves the per-tick sinusoid + per-layer posp einsum and its HBM
+    # round-trip.
+    # ring: the att cache is a RING BUFFER in HBM (ANY-space, aliased
+    # input/output): the kernel reads each slot's full (h, C, 2·d_k)
+    # slice by DMA, rotates it to chronological order in VMEM
+    # (pltpu.roll by the per-slot write pointer), and writes ONLY the c
+    # fresh K/V rows back at the pointer — cache HBM write traffic drops
+    # C/c-fold (16× at the defaults) vs the roll-and-rewrite layout, and
+    # the cache never round-trips through XLA (no transpose/stack/merge
+    # copies either; docs/streaming_roofline.md).
+    it = iter(refs)
+    clen_ref = next(it)
+    start_ref = next(it) if table else None
+    if ring:
+        wptr_ref = next(it)
+        act_ref = next(it)
+    x_ref = next(it)
+    tab_ref = pp_ref = None
     if table:
-        # positions DMA'd per slot from an HBM-resident per-layer
-        # projected table (rows i = linear_pos(sinusoid(max(i - C, 0))) —
-        # row o+j IS the required position max(o-C+j, 0) for any o ≥ 0,
-        # so one contiguous window per slot is exact; see
-        # make_chunk_pos_table). Saves the per-tick sinusoid + per-layer
-        # posp einsum and its HBM round-trip.
-        (clen_ref, start_ref, x_ref, tab_ref, ac_ref, cc_ref, lnw_ref,
-         ffw1_ref, ffb1_ref, ffw2_ref, vecb_ref, attw_ref, posb_ref,
-         pw1w_ref, pw1b_ref, pw2w_ref, dww_ref,
-         y_ref, nac_ref, ncc_ref, qs_ref, ks_ref, vs_ref, pp_scr,
-         dma_sem) = refs
+        tab_ref = next(it)
     else:
-        (clen_ref, x_ref, pp_ref, ac_ref, cc_ref, lnw_ref, ffw1_ref,
-         ffb1_ref, ffw2_ref, vecb_ref, attw_ref, posb_ref,
-         pw1w_ref, pw1b_ref, pw2w_ref, dww_ref,
-         y_ref, nac_ref, ncc_ref, qs_ref, ks_ref, vs_ref) = refs
+        pp_ref = next(it)
+    ac_ref = next(it)                       # blocked VMEM | ANY (ring)
+    cc_ref = next(it)
+    (lnw_ref, ffw1_ref, ffb1_ref, ffw2_ref, vecb_ref, attw_ref, posb_ref,
+     pw1w_ref, pw1b_ref, pw2w_ref, dww_ref) = (next(it) for _ in range(11))
+    y_ref = next(it)
+    nac_ref = next(it)                      # blocked VMEM | ANY aliased
+    ncc_ref = next(it)
+    qs_ref, ks_ref, vs_ref = (next(it) for _ in range(3))
+    if table:
+        pp_scr, dma_sem = next(it), next(it)
+    if ring:
+        ac_scr, ac_sem, nkv_scr, w_sem = (next(it) for _ in range(4))
     g = pl.program_id(0)
     bs, c, D = x_ref.shape
-    C = ac_ref.shape[2]
+    C = ac_scr.shape[2] if ring else ac_ref.shape[2]
     L = C + c
     M = bs * c
     cdt = x_ref.dtype
     dmas = []
+    ac_dmas = []
     if table:
         # start all slots' position DMAs up front; the macaron FFN below
         # overlaps the copies. Mosaic can only lower an HBM slice at a
@@ -84,6 +106,12 @@ def _kernel(*refs, n_head, d_k, ksize, ff_scale, eps, table=False,
                 dma_sem.at[s])
             dma.start()
             dmas.append(dma)
+    if ring:
+        for s in range(bs):
+            dma = pltpu.make_async_copy(ac_ref.at[g * bs + s],
+                                        ac_scr.at[s], ac_sem.at[s])
+            dma.start()
+            ac_dmas.append(dma)
     x = x_ref[...].reshape(M, D).astype(jnp.float32)
 
     def layer_norm(v, idx):
@@ -138,22 +166,31 @@ def _kernel(*refs, n_head, d_k, ksize, ff_scale, eps, table=False,
             ph_full = pp_scr[s].astype(jnp.float32)
         else:
             ph_full = pp_ref[s].astype(jnp.float32)
+        if ring:
+            ac_dmas[s].wait()
+            wp = wptr_ref[g * bs + s]
         # build the head-stacked Q/K/V directly in scratch via STORES —
         # Mosaic rejects concats whose operands sit at different LANE
         # offsets (head h's column slice starts at lane h·d_k; the cache
         # v-half at lane d_k)
         for h in range(n_head):
             sl = slice(h * d_k, (h + 1) * d_k)
+            if ring:
+                # ring rows → chronological: chron[i] = ring[(i+wp) % C]
+                # (row wp is the oldest; the mask below is unchanged)
+                chron = pltpu.roll(ac_scr[s, h], -wp, 0).astype(jnp.float32)
+                cache_k, cache_v = chron[:, 0:d_k], chron[:, d_k:2 * d_k]
+            else:
+                cache_k = ac_ref[s, h, :, 0:d_k].astype(jnp.float32)
+                cache_v = ac_ref[s, h, :, d_k:2 * d_k].astype(jnp.float32)
             qs_ref[h * c:(h + 1) * c, 0:d_k] = q[rows, sl] \
                 + posb_ref[0:1, sl]
             qs_ref[h * c:(h + 1) * c, d_k:2 * d_k] = q[rows, sl] \
                 + posb_ref[1:2, sl]
-            ks_ref[h * L:h * L + C, 0:d_k] = \
-                ac_ref[s, h, :, 0:d_k].astype(jnp.float32)
+            ks_ref[h * L:h * L + C, 0:d_k] = cache_k
             ks_ref[h * L + C:(h + 1) * L, 0:d_k] = k[rows, sl]
             ks_ref[h * L:(h + 1) * L, d_k:2 * d_k] = ph_full[:, sl]
-            vs_ref[h * L:h * L + C, :] = \
-                ac_ref[s, h, :, d_k:2 * d_k].astype(jnp.float32)
+            vs_ref[h * L:h * L + C, :] = cache_v
             vs_ref[h * L + C:(h + 1) * L, :] = v[rows, sl]
         v_stack = vs_ref[...]                           # (h·L, dk)
         sc = jax.lax.dot_general(
@@ -182,19 +219,44 @@ def _kernel(*refs, n_head, d_k, ksize, ff_scale, eps, table=False,
             preferred_element_type=jnp.float32)        # (h·c, dk)
         att_rows.append(jnp.concatenate(
             [o_stack[h * c:(h + 1) * c, :] for h in range(n_head)], axis=1))
-        # rolled cache: drop the oldest c rows, append the chunk's kv
-        # (built as a value — Mosaic rejects ref-to-ref copies whose row
-        # offsets differ; piece list conditional — no 0-sized operands
-        # when c == C)
-        for h in range(n_head):
-            sl = slice(h * d_k, (h + 1) * d_k)
-            new_kv = jnp.concatenate([k[rows, sl], v[rows, sl]], axis=1)
-            if c < C:
-                old = ac_ref[s, h, :, :].astype(jnp.float32)
-                rolled = jnp.concatenate([old[c:, :], new_kv], axis=0)
-            else:
-                rolled = new_kv
-            nac_ref[s, h, :, :] = rolled.astype(nac_ref.dtype)
+        if ring:
+            # stage the chunk's fresh K/V rows, then write ONLY them to
+            # the HBM ring at the slot's pointer (inactive slots skip the
+            # write: the aliased buffer cannot be un-written by the
+            # engine's XLA merge). n_sub sub-chunks go as separate
+            # contiguous sub_c-row DMAs so a tick never wraps mid-copy
+            # (wptrs and sub_c are multiples of 8, C % sub_c == 0 —
+            # gated in fused_chunk_layer).
+            for h in range(n_head):
+                sl = slice(h * d_k, (h + 1) * d_k)
+                nkv_scr[s, h] = jnp.concatenate(
+                    [k[rows, sl], v[rows, sl]], axis=1).astype(nkv_scr.dtype)
+            sub_c = c // n_sub
+            @pl.when(act_ref[g * bs + s] != 0)
+            def _():
+                wp0 = wptr_ref[g * bs + s]
+                for h in range(n_head):
+                    for i in range(n_sub):
+                        dst = pl.multiple_of(
+                            jax.lax.rem(wp0 + i * sub_c, C), 8)
+                        pltpu.make_async_copy(
+                            nkv_scr.at[s, h, pl.ds(i * sub_c, sub_c), :],
+                            nac_ref.at[g * bs + s, h, pl.ds(dst, sub_c), :],
+                            w_sem.at[s, h, i]).start()
+        else:
+            # rolled cache: drop the oldest c rows, append the chunk's kv
+            # (built as a value — Mosaic rejects ref-to-ref copies whose
+            # row offsets differ; piece list conditional — no 0-sized
+            # operands when c == C)
+            for h in range(n_head):
+                sl = slice(h * d_k, (h + 1) * d_k)
+                new_kv = jnp.concatenate([k[rows, sl], v[rows, sl]], axis=1)
+                if c < C:
+                    old = ac_ref[s, h, :, :].astype(jnp.float32)
+                    rolled = jnp.concatenate([old[c:, :], new_kv], axis=0)
+                else:
+                    rolled = new_kv
+                nac_ref[s, h, :, :] = rolled.astype(nac_ref.dtype)
     att = jnp.concatenate(att_rows, axis=0) if bs > 1 else att_rows[0]
     x = x + mm(att, attw_ref[3]) + vecb_ref[5:6, :]
 
@@ -222,6 +284,19 @@ def _kernel(*refs, n_head, d_k, ksize, ff_scale, eps, table=False,
     # ---- final FFN + final LN ----
     x = x + ff_scale * ffn(layer_norm(x, 4), 1)
     y_ref[...] = layer_norm(x, 5).astype(y_ref.dtype).reshape(bs, c, D)
+    if ring:
+        # drain the fresh-row ring writes (issued above, overlapped by
+        # the conv module and FFN compute) before the grid step retires
+        sub_c = c // n_sub
+        for s in range(bs):
+            @pl.when(act_ref[g * bs + s] != 0)
+            def _():
+                for h in range(n_head):
+                    for i in range(n_sub):
+                        pltpu.make_async_copy(
+                            nkv_scr.at[s, h, pl.ds(i * sub_c, sub_c), :],
+                            nac_ref.at[g * bs + s, h, pl.ds(0, sub_c), :],
+                            w_sem.at[s, h, i]).wait()
 
 
 def _kernel_q8(*refs, n_head, d_k, ksize, ff_scale, eps, table=False,
@@ -452,12 +527,20 @@ def chunk_layer_supported(c, C, D, F, n_head, dtype=jnp.bfloat16,
     return bs >= 1
 
 
-def _vmem(c, C, D, F, n_head, dtype, bs, quant=False, table=False):
+def _vmem(c, C, D, F, n_head, dtype, bs, quant=False, table=False,
+          ring=False):
     s = jnp.dtype(dtype).itemsize
     L = C + c
     weights = (4 * D * F + 7 * D * D + 2 * D * D) * s
     cache_s = 1 if quant else s
-    caches = bs * n_head * C * 2 * (D // n_head) * cache_s * 2 * 2
+    if ring:
+        # single-buffered DMA scratch (read) + c-row staging (write) +
+        # the doubled roll temporary — no double-buffered in/out blocks
+        caches = bs * n_head * C * 2 * (D // n_head) * cache_s \
+            + bs * n_head * c * 2 * (D // n_head) * cache_s \
+            + 2 * C * 2 * (D // n_head) * 4
+    else:
+        caches = bs * n_head * C * 2 * (D // n_head) * cache_s * 2 * 2
     if quant:
         caches += bs * 2 * n_head * C * 4 * 2 * 2         # f32 scales
     # posp: double-buffered input block, or single-buffered DMA scratch
@@ -469,9 +552,9 @@ def _vmem(c, C, D, F, n_head, dtype, bs, quant=False, table=False):
 
 
 def pick_chunk_block_b(c, C, D, F, n_head, dtype=jnp.bfloat16, max_bs=8,
-                       quant=False, table=False):
+                       quant=False, table=False, ring=False):
     for bs in range(max_bs, 0, -1):
-        if _vmem(c, C, D, F, n_head, dtype, bs, quant, table) \
+        if _vmem(c, C, D, F, n_head, dtype, bs, quant, table, ring) \
                 < int(13.5 * 1024 * 1024):
             return bs
     return 0
@@ -516,9 +599,9 @@ def clamp_pos_starts(offsets, table_len, L):
     "n_head", "ksize", "ff_scale", "eps", "block_b", "interpret",
     "n_sub"))
 def fused_chunk_layer(x, posp, att_cache, cnn_cache, cache_lens, params,
-                      wpos=None, pos_table=None, starts=None, *, n_head,
-                      ksize, ff_scale=0.5, eps=1e-5, block_b=None,
-                      interpret=None, n_sub=1):
+                      wpos=None, pos_table=None, starts=None, wptrs=None,
+                      active=None, *, n_head, ksize, ff_scale=0.5,
+                      eps=1e-5, block_b=None, interpret=None, n_sub=1):
     """x: (B, c, D) chunk after subsampling; posp: (B, C+c, D) per-slot
     PRE-projected positions — linear_pos(pos_emb), one batched einsum per
     layer in the caller (forward_chunk_batched); att_cache: (B, h, C,
@@ -544,10 +627,20 @@ def fused_chunk_layer(x, posp, att_cache, cnn_cache, cache_lens, params,
     n_sub times (docs/streaming_roofline.md: the tick is bounded by
     per-grid-step DMA, which this amortizes n_sub×). Requires
     c ≤ C and n_sub | c.
+    RING-BUFFER CACHE: pass wptrs (B,) int32 per-slot write pointers +
+    active (B,) bool/int32. att_cache is then a ring (row wp is the
+    oldest cached frame; the engine advances wp by c mod C after every
+    active tick) and the kernel writes ONLY the c fresh rows back to HBM
+    (the full-C rewrite — and its XLA transpose/stack/merge round-trips —
+    disappear). The returned new_att_cache ALIASES the input buffer;
+    callers must treat the input as consumed. Inactive slots' rings are
+    untouched. Requires sub_c = c/n_sub and wptrs multiples of 8,
+    C % sub_c == 0 and bs | B (no pad copies of the aliased buffer).
     → (y (B, c, D), new_att_cache, new_cnn_cache)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     table = pos_table is not None
+    ring = wptrs is not None
     if wpos is not None:
         posp = jnp.einsum("nld,de->nle", posp.astype(wpos.dtype), wpos,
                           preferred_element_type=jnp.float32
@@ -556,8 +649,15 @@ def fused_chunk_layer(x, posp, att_cache, cnn_cache, cache_lens, params,
     C = att_cache.shape[2]
     F = params["ffw1"].shape[2]
     bs = block_b or pick_chunk_block_b(c, C, D, F, n_head, x.dtype,
-                                       table=table)
+                                       table=table, ring=ring)
     bs = max(1, min(bs, B))
+    if ring:
+        # padding would copy the aliased ring buffer — shrink the block
+        # to a divisor of B instead
+        while B % bs:
+            bs -= 1
+        sub_c = c // n_sub
+        assert C % sub_c == 0 and sub_c % 8 == 0, (C, sub_c)
     pad_b = (-B) % bs
     if pad_b:
         x = jnp.pad(x, ((0, pad_b), (0, 0), (0, 0)))
@@ -570,6 +670,7 @@ def fused_chunk_layer(x, posp, att_cache, cnn_cache, cache_lens, params,
         cache_lens = jnp.pad(cache_lens, (0, pad_b))
     Bp = B + pad_b
     L = C + c
+    d_k = D // n_head
     lorder = ksize - 1
     const = lambda shape: pl.BlockSpec(shape, lambda b, *_: (0,) * len(shape))
     bspec = lambda shape: pl.BlockSpec(
@@ -577,25 +678,43 @@ def fused_chunk_layer(x, posp, att_cache, cnn_cache, cache_lens, params,
     pos_spec = [pl.BlockSpec(memory_space=pl.ANY)] if table \
         else [bspec((bs, L, D))]
     scalars = (cache_lens.astype(jnp.int32),) + (
-        (starts.astype(jnp.int32),) if table else ())
+        (starts.astype(jnp.int32),) if table else ()) + ((
+            wptrs.astype(jnp.int32), active.astype(jnp.int32))
+        if ring else ())
     pos_args = (pos_table,) if table else (posp,)
     extra_scratch = [pltpu.VMEM((bs, L, D), pos_table.dtype),
                      pltpu.SemaphoreType.DMA((bs,))] if table else []
+    if ring:
+        ac_spec = pl.BlockSpec(memory_space=pl.ANY)
+        nac_spec = pl.BlockSpec(memory_space=pl.ANY)
+        extra_scratch += [
+            pltpu.VMEM((bs, n_head, C, 2 * d_k), att_cache.dtype),
+            pltpu.SemaphoreType.DMA((bs,)),
+            pltpu.VMEM((bs, n_head, c, 2 * d_k), att_cache.dtype),
+            pltpu.SemaphoreType.DMA((bs, n_head, n_sub)),
+        ]
+        # alias the ring buffer: positional operand index counts the
+        # scalar-prefetch args; output 1 is new_att_cache
+        aliases = {len(scalars) + 2: 1}
+    else:
+        ac_spec = bspec((bs, n_head, C, 2 * d_k))
+        nac_spec = bspec((bs, n_head, C, 2 * d_k))
+        aliases = {}
     assert c <= C and c % n_sub == 0, (c, C, n_sub)
     y, nac, ncc = pl.pallas_call(
-        functools.partial(_kernel, n_head=n_head, d_k=D // n_head,
+        functools.partial(_kernel, n_head=n_head, d_k=d_k,
                           ksize=ksize, ff_scale=ff_scale, eps=eps,
-                          table=table, n_sub=n_sub),
+                          table=table, n_sub=n_sub, ring=ring),
         out_shape=(jax.ShapeDtypeStruct((Bp, c, D), x.dtype),
                    jax.ShapeDtypeStruct(att_cache.shape, att_cache.dtype),
                    jax.ShapeDtypeStruct(cnn_cache.shape, cnn_cache.dtype)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2 if table else 1,
+            num_scalar_prefetch=len(scalars),
             grid=(Bp // bs,),
             in_specs=[
                 bspec((bs, c, D)),                    # x
             ] + pos_spec + [                          # posp | pos table
-                bspec((bs, n_head, C, 2 * (D // n_head))),   # att cache
+                ac_spec,                              # att cache
                 bspec((bs, lorder, D)),               # cnn cache
                 const((6, 2, D)),                     # lnw
                 const((2, D, F)),                     # ffw1
@@ -610,16 +729,17 @@ def fused_chunk_layer(x, posp, att_cache, cnn_cache, cache_lens, params,
                 const((ksize, D)),                    # dww
             ],
             out_specs=(bspec((bs, c, D)),
-                       bspec((bs, n_head, C, 2 * (D // n_head))),
+                       nac_spec,
                        bspec((bs, lorder, D))),
             scratch_shapes=[
-                pltpu.VMEM((n_head * c, 2 * (D // n_head)), jnp.float32),
-                pltpu.VMEM((n_head * L, 2 * (D // n_head)), jnp.float32),
-                pltpu.VMEM((n_head * L, D // n_head), jnp.float32),
+                pltpu.VMEM((n_head * c, 2 * d_k), jnp.float32),
+                pltpu.VMEM((n_head * L, 2 * d_k), jnp.float32),
+                pltpu.VMEM((n_head * L, d_k), jnp.float32),
             ] + extra_scratch,
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
+        input_output_aliases=aliases,
         interpret=interpret,
     )(*scalars, x, *pos_args, att_cache, cnn_cache,
       params["lnw"], params["ffw1"], params["ffb1"], params["ffw2"],

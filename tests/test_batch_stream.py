@@ -153,9 +153,10 @@ def test_batch_session_fused_chunk_matches_vmapped(setup):
             predictor.predictor, predictor._text_featurizer.vocab_list,
             **kw)
         assert fused._use_fused_chunk
-        # at these shapes the whole-tick megakernel route must engage
-        # (ops/pallas/chunk_tick.py); transcripts below prove its parity
-        assert fused._use_chunk_tick
+        # at these shapes the RING-cache route must engage (per-layer
+        # kernels write only the fresh rows; ops/pallas/chunk_layer.py
+        # ring mode); transcripts below prove its parity
+        assert fused._ring
         waves = [_wave(s + 20) for s in range(3)]
         texts = {"base": [None] * 3, "fused": [None] * 3}
         for name, sess in (("base", base), ("fused", fused)):

@@ -179,7 +179,7 @@ def test_encoder_multi_tick_matches_sequential():
     }
     cl.FORCE_ON_CPU = True
     try:
-        packed = model.apply(variables, False, cache_size,
+        packed = model.apply(variables, cache_size,
                              method=type(model).pack_chunk_params)
         st = state
         probs_seq = []
@@ -256,7 +256,7 @@ def test_engine_tick_chunks_matches_single(tmp_path):
                                    predictor._text_featurizer.vocab_list,
                                    tick_chunks=2, **kw)
         assert base.tick_k == 1 and multi.tick_k == 2
-        assert multi._use_fused_chunk and not multi._use_chunk_tick
+        assert multi._use_fused_chunk
 
         texts = {}
         for name, sess in (("base", base), ("multi", multi)):

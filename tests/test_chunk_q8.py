@@ -132,7 +132,6 @@ def test_engine_int8_kv_cache_matches_exact_transcripts(tmp_path):
             predictor.predictor, predictor._text_featurizer.vocab_list,
             kv_cache="int8", **kw)
         assert q8.kv_cache == "int8" and q8._use_fused_chunk
-        assert not q8._use_chunk_tick   # tick kernel has no int8 variant
         assert "att_scale" in q8._template
 
         def wave(seed, seconds=1.5):

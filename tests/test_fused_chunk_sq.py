@@ -65,7 +65,7 @@ def test_sq_fused_chunk_matches_vmapped():
     try:
         assert model.apply(variables, 16, C, N,
                            method=type(model).chunk_fused_ok)
-        packed = model.apply(variables, False, C,
+        packed = model.apply(variables, C,
                              method=type(model).pack_chunk_params)
 
         def run_fused(mod):
@@ -102,7 +102,7 @@ def test_sq_fused_multi_tick_matches_sequential():
                       jnp.float32)
     cl.FORCE_ON_CPU = True
     try:
-        packed = model.apply(variables, False, C,
+        packed = model.apply(variables, C,
                              method=type(model).pack_chunk_params)
 
         def run(mod):
@@ -216,7 +216,7 @@ def test_sq_fused_chunk_under_mesh_matches_single():
                       jnp.float32)
     cl.FORCE_ON_CPU = True
     try:
-        packed = model.apply(variables, False, C,
+        packed = model.apply(variables, C,
                              method=type(model).pack_chunk_params)
 
         def run(mod):
