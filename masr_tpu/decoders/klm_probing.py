@@ -293,7 +293,68 @@ class State(object):
         return hash(self.words)
 
 
-class ProbingModel(object):
+class NGramModelBase(object):
+    """Shared kenlm query-API subset over any backend exposing
+    `order`, `word_id(word)`, `_uni` ((V+1, 2) prob/backoff array) and
+    `_lookup(word_id, context_ids)` (→ (prob, backoff) | None)."""
+
+    def NullContextWrite(self, state):
+        state.words = ()
+        state.backoffs = ()
+
+    def BeginSentenceWrite(self, state):
+        sid = self.word_id("<s>")
+        bo = float(self._uni[sid][1]) if sid else 0.0
+        state.words = (sid,)
+        state.backoffs = (bo,)
+
+    def BaseScore(self, in_state, word, out_state):
+        """log10 P(word | in_state), writing the successor state."""
+        wid = self.word_id(word)
+        ctx = in_state.words                        # oldest→newest
+        # longest match: try full context, shrink from the left
+        prob = float(self._uni[wid][0])
+        new_bos = [float(self._uni[wid][1])]
+        matched = 0                                  # context words used
+        for use in range(1, len(ctx) + 1):
+            hit = self._lookup(wid, ctx[len(ctx) - use:])
+            if hit is None:
+                break
+            prob, bo = hit
+            matched = use
+            if use + 1 < self.order:
+                new_bos.append(bo)
+        # backoff penalties of the unmatched longer contexts
+        for j in range(matched, len(ctx)):
+            prob += in_state.backoffs[j]
+        # successor state truncates to the matched length (kenlm's
+        # independent-left rule: if (ctx_m, w) is absent, no higher-order
+        # n-gram can extend it, so longer context words are dead weight)
+        keep = min(matched + 1, self.order - 1) if self.order > 1 else 0
+        nw = (ctx + (wid,))[len(ctx) + 1 - keep:] if keep else ()
+        out_state.words = nw
+        out_state.backoffs = tuple(new_bos[:keep])
+        return prob
+
+    def score(self, sentence, bos=True, eos=True):
+        """Full-sentence log10 score (kenlm.Model.score parity)."""
+        st = State()
+        if bos:
+            self.BeginSentenceWrite(st)
+        else:
+            self.NullContextWrite(st)
+        total = 0.0
+        for w in sentence.split():
+            nxt = State()
+            total += self.BaseScore(st, w, nxt)
+            st = nxt
+        if eos:
+            nxt = State()
+            total += self.BaseScore(st, "</s>", nxt)
+        return total
+
+
+class ProbingModel(NGramModelBase):
     """mmap reader for PROBING-format KenLM binaries with the kenlm
     query-API subset the scorers use."""
 
@@ -314,9 +375,9 @@ class ProbingModel(object):
             names = {1: "REST_PROBING", 2: "TRIE", 3: "QUANT_TRIE",
                      4: "ARRAY_TRIE", 5: "QUANT_ARRAY_TRIE"}
             raise ValueError(
-                f"{path}: model_type={names.get(mtype, mtype)} — only "
-                "PROBING binaries are supported (rebuild with KenLM "
-                "build_binary probing, or use an ARPA LM)")
+                f"{path}: model_type={names.get(mtype, mtype)} — "
+                "ProbingModel reads PROBING binaries only (use "
+                "load_klm(), which also dispatches TRIE)")
         self.order = int(order)
         self.multiplier = float(mult)
         counts = struct.unpack_from(
@@ -416,58 +477,23 @@ class ProbingModel(object):
         i = self._find(keys, key)
         return None if i < 0 else (float(vals[i, 0]), float(vals[i, 1]))
 
-    # ---------------- kenlm query API subset ----------------
-    def NullContextWrite(self, state):
-        state.words = ()
-        state.backoffs = ()
 
-    def BeginSentenceWrite(self, state):
-        sid = self.word_id("<s>")
-        bo = float(self._uni[sid][1]) if sid else 0.0
-        state.words = (sid,)
-        state.backoffs = (bo,)
-
-    def BaseScore(self, in_state, word, out_state):
-        """log10 P(word | in_state), writing the successor state."""
-        wid = self.word_id(word)
-        ctx = in_state.words                        # oldest→newest
-        # longest match: try full context, shrink from the left
-        prob = float(self._uni[wid][0])
-        new_bos = [float(self._uni[wid][1])]
-        matched = 0                                  # context words used
-        for use in range(1, len(ctx) + 1):
-            hit = self._lookup(wid, ctx[len(ctx) - use:])
-            if hit is None:
-                break
-            prob, bo = hit
-            matched = use
-            if use + 1 < self.order:
-                new_bos.append(bo)
-        # backoff penalties of the unmatched longer contexts
-        for j in range(matched, len(ctx)):
-            prob += in_state.backoffs[j]
-        # successor state truncates to the matched length (kenlm's
-        # independent-left rule: if (ctx_m, w) is absent, no higher-order
-        # n-gram can extend it, so longer context words are dead weight)
-        keep = min(matched + 1, self.order - 1) if self.order > 1 else 0
-        nw = (ctx + (wid,))[len(ctx) + 1 - keep:] if keep else ()
-        out_state.words = nw
-        out_state.backoffs = tuple(new_bos[:keep])
-        return prob
-
-    def score(self, sentence, bos=True, eos=True):
-        """Full-sentence log10 score (kenlm.Model.score parity)."""
-        st = State()
-        if bos:
-            self.BeginSentenceWrite(st)
-        else:
-            self.NullContextWrite(st)
-        total = 0.0
-        for w in sentence.split():
-            nxt = State()
-            total += self.BaseScore(st, w, nxt)
-            st = nxt
-        if eos:
-            nxt = State()
-            total += self.BaseScore(st, "</s>", nxt)
-        return total
+def load_klm(path):
+    """Open a KenLM binary of either supported format (PROBING or TRIE)
+    by its model_type header field."""
+    with open(path, "rb") as f:
+        head = f.read(_SANITY_SIZE + _FIXED_SIZE)
+    if not head.startswith(MAGIC[:len(MAGIC) - 2]):
+        raise ValueError(f"{path}: not a KenLM binary (bad magic)")
+    mtype = struct.unpack_from("<B3xfi?3xI", head, _SANITY_SIZE)[2]
+    if mtype == MODEL_PROBING:
+        return ProbingModel(path)
+    if mtype == MODEL_TRIE:
+        from masr_tpu.decoders.klm_trie import TrieModel
+        return TrieModel(path)
+    names = {1: "REST_PROBING", 3: "QUANT_TRIE",
+             4: "ARRAY_TRIE", 5: "QUANT_ARRAY_TRIE"}
+    raise ValueError(
+        f"{path}: model_type={names.get(mtype, mtype)} — only PROBING "
+        "and (non-quantized, non-array) TRIE binaries are supported; "
+        "rebuild with KenLM build_binary probing/trie, or use an ARPA LM")

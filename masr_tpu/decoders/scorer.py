@@ -193,7 +193,8 @@ class KenlmScorer(object):
         except ImportError:
             from masr_tpu.decoders import klm_probing
             self._kenlm = klm_probing
-            self.model = klm_probing.ProbingModel(language_model_path)
+            # dispatches PROBING and TRIE binaries by header model_type
+            self.model = klm_probing.load_klm(language_model_path)
         self.alpha = alpha
         self.beta = beta
         self.is_character_based = self._detect_character_based() \

@@ -167,7 +167,7 @@ def test_kenlm_scorer_uses_inrepo_reader(klm_path):
                                    ref.score_word(ctx, w), atol=1e-6)
 
 
-def test_trie_format_rejected(tmp_path, klm_path):
+def test_trie_format_routes_to_trie_reader(tmp_path, klm_path):
     klm, _ = klm_path
     blob = bytearray(open(klm, "rb").read())
     import struct
@@ -175,7 +175,108 @@ def test_trie_format_rejected(tmp_path, klm_path):
     bad = tmp_path / "trie.klm"
     bad.write_bytes(bytes(blob))
     with pytest.raises(ValueError, match="TRIE"):
-        ProbingModel(str(bad))
+        ProbingModel(str(bad))               # strict per-format readers
+
+
+# ------------------------------------------------------------------ #
+# TRIE format (VERDICT r3 item 8 — decoders/klm_trie.py)
+# ------------------------------------------------------------------ #
+
+
+@pytest.fixture()
+def trie_path(tmp_path):
+    from masr_tpu.decoders.klm_trie import write_trie
+    arpa = tmp_path / "lm.arpa"
+    arpa.write_text(ARPA, encoding="utf-8")
+    out = tmp_path / "lm.trie.klm"
+    write_trie(str(arpa), str(out))
+    return str(out), str(arpa)
+
+
+def test_trie_roundtrip_matches_arpa_scorer(trie_path):
+    from masr_tpu.decoders.klm_trie import TrieModel
+    klm, arpa = trie_path
+    ref = ArpaLM(arpa)
+    m = TrieModel(klm)
+    assert m.order == 2
+    words = ["你", "好", "天", "气", "怪"]       # 怪 is OOV
+    for ctx_len in (0, 1, 2):
+        for ctx in itertools.product(words, repeat=ctx_len):
+            for w in words:
+                want = ref.log10_cond(list(ctx), w)
+                st = State()
+                m.NullContextWrite(st)
+                for c in ctx:
+                    nxt = State()
+                    m.BaseScore(st, c, nxt)
+                    st = nxt
+                out = State()
+                got = m.BaseScore(st, w, out)
+                np.testing.assert_allclose(got, want, atol=1e-6,
+                                           err_msg=f"ctx={ctx} w={w}")
+
+
+def test_trie_random_trigram_roundtrip_matches_probing(tmp_path):
+    """Random 3-gram ARPA → trie binary: scores must match the ARPA
+    scorer AND the probing binary bit-for-bit through state threading
+    (prob stored as sign-stripped float32 is exact)."""
+    from masr_tpu.decoders.klm_trie import TrieModel, write_trie
+    arpa, words = _random_arpa(tmp_path, seed=3)
+    tri = tmp_path / "r.trie.klm"
+    prb = tmp_path / "r.prob.klm"
+    write_trie(arpa, str(tri))
+    write_probing(arpa, str(prb))
+    ref = ArpaLM(arpa)
+    mt = TrieModel(str(tri))
+    mp = ProbingModel(str(prb))
+    assert mt.order == 3 and mt.counts == mp.counts
+    rs = np.random.RandomState(4)
+    for _ in range(300):
+        ctx = [words[rs.randint(len(words))]
+               for _ in range(rs.randint(0, 4))]
+        w = words[rs.randint(len(words))]
+        want = ref.log10_cond(ctx, w)
+        st_t, st_p = State(), State()
+        mt.NullContextWrite(st_t)
+        mp.NullContextWrite(st_p)
+        for c in ctx:
+            nt, npr = State(), State()
+            mt.BaseScore(st_t, c, nt)
+            mp.BaseScore(st_p, c, npr)
+            st_t, st_p = nt, npr
+        got_t = mt.BaseScore(st_t, w, State())
+        got_p = mp.BaseScore(st_p, w, State())
+        np.testing.assert_allclose(got_t, want, atol=1e-5,
+                                   err_msg=f"ctx={ctx} w={w}")
+        np.testing.assert_allclose(got_t, got_p, atol=1e-6)
+
+
+def test_trie_sentence_score_and_vocab(trie_path):
+    from masr_tpu.decoders.klm_trie import TrieModel
+    klm, _ = trie_path
+    m = TrieModel(klm)
+    assert "你" in m and "好" in m and "怪" not in m
+    got = m.score("你 好", bos=True, eos=False)
+    np.testing.assert_allclose(got, (-0.3 - 0.4) + (-0.05), atol=1e-6)
+
+
+def test_load_klm_dispatches_both_formats(klm_path, trie_path):
+    from masr_tpu.decoders.klm_probing import load_klm
+    from masr_tpu.decoders.klm_trie import TrieModel
+    assert isinstance(load_klm(klm_path[0]), ProbingModel)
+    assert isinstance(load_klm(trie_path[0]), TrieModel)
+
+
+def test_kenlm_scorer_reads_trie_binary(trie_path):
+    klm, arpa = trie_path
+    ks = KenlmScorer(0.9, 0.1, klm)
+    from masr_tpu.decoders.klm_trie import TrieModel
+    assert isinstance(ks.model, TrieModel)
+    ref = Scorer(0.9, 0.1, arpa)
+    for ctx, w in [([], "你"), (["你"], "好"), (["好"], "气"),
+                   (["天", "你"], "天"), (["怪"], "你")]:
+        np.testing.assert_allclose(ks.score_word(ctx, w),
+                                   ref.score_word(ctx, w), atol=1e-6)
 
 
 def test_sentence_score_and_contains(klm_path):
