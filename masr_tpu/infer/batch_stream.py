@@ -29,7 +29,7 @@ from masr_tpu.infer.predictor import (CACHED_FEATURE_NUM, CONTEXT,
 class BatchStreamSession(object):
     def __init__(self, inference_predictor, vocab_list, preprocess_conf=None,
                  max_streams=8, decoder="ctc_greedy", decoder_conf=None,
-                 kv_cache="bf16", tick_chunks=1):
+                 kv_cache="bf16", tick_chunks=1, pos_table_len=8192):
         """decoder: 'ctc_greedy' (fused argmax head, per-slot host carry)
         or 'ctc_beam_search_device' (ALL slots' prefix beam search inside
         the tick program, incl. optional dense-bigram LM fusion).
@@ -45,7 +45,12 @@ class BatchStreamSession(object):
         (k-1)·640 ms of buffering latency before the first partial.
         Needs the fused chunk path and k·chunk ≤ cache_size; falls back
         to 1 otherwise. Slots with fewer than k buffered windows (stream
-        tails) advance through the normal single-chunk step."""
+        tails) advance through the normal single-chunk step.
+        pos_table_len: rows in the fused route's HBM position tables
+        (~pos_table_len × 40 ms of stream per slot before ticks switch
+        to the slower exact-positions program — size to the expected
+        session length; the switch is exact, there is NO accuracy cliff,
+        and memory stays flat either way)."""
         self.ip = inference_predictor
         self.N = max_streams
         self.vocab_list = vocab_list
@@ -128,20 +133,22 @@ class BatchStreamSession(object):
         # include the per-layer HBM position tables (in-kernel positions
         # DMA — no per-tick sinusoid/einsum)
         self._packed_chunk = jax.device_put(model.apply(
-            variables, self.ip.cache_size,
+            variables, self.ip.cache_size, int(pos_table_len),
             method=type(model).pack_chunk_params)) \
             if use_fused else None
 
-        def encoder_step(variables, xs, states, active, packed):
+        def encoder_step(variables, xs, states, active, packed,
+                         exact_positions=False):
             if use_fused:
                 # (N, 1, W, F) single tick → (N, W, F); (N, k, W, F)
                 # multi-chunk tick stays 4-D (block-causal sub-chunks)
                 inp = xs[:, 0] if xs.shape[1] == 1 else xs
                 probs, new_states = model.apply(
                     variables, inp, states, packed, active,
+                    exact_positions,
                     method=type(model).get_encoder_out_chunk_batched) \
                     if ring else model.apply(
-                    variables, inp, states, packed,
+                    variables, inp, states, packed, None, exact_positions,
                     method=type(model).get_encoder_out_chunk_batched)
             else:
                 probs4, new_states = vstep(variables, xs, states)
@@ -167,6 +174,22 @@ class BatchStreamSession(object):
                     new_states, states)
             return probs, merged  # (N, CH, V)
 
+        # position-table horizon: the fused route reads positions from
+        # per-layer HBM tables whose window clamps at table_len - L. A
+        # slot streaming past that boundary flips the TICK to an
+        # exact-positions step (per-tick sinusoid+einsum from the traced
+        # offsets — correct at ANY offset, just slower), replacing the
+        # old silent position freeze. Offsets are mirrored host-side so
+        # the routing needs no device readback.
+        self._pos_cap = None
+        if use_fused and self._packed_chunk is not None \
+                and not isinstance(self._packed_chunk, dict) \
+                and len(self._packed_chunk[0]) == 3:
+            table_len = self._packed_chunk[0][2].shape[0]
+            L = self.ip.cache_size + DECODING_CHUNK_SIZE * self.tick_k
+            self._pos_cap = max(0, (table_len - L) // 8 * 8)
+        self._slot_frames = [0] * max_streams
+
         self._dec_state = None
         if decoder == "ctc_beam_search_device":
             from masr_tpu.decoders.device_beam import make_stream_decode_fn
@@ -183,9 +206,9 @@ class BatchStreamSession(object):
             self._dec_state = self._dec_fresh
 
             def step_beam(variables, xs, states, dec_state, active, fv,
-                          packed):
+                          packed, exact_positions=False):
                 probs, merged = encoder_step(variables, xs, states, active,
-                                             packed)
+                                             packed, exact_positions)
                 dec_state, best = decode_fn(dec_state, probs,
                                             fv[:, : probs.shape[1]])
                 return best, merged, dec_state
@@ -194,7 +217,7 @@ class BatchStreamSession(object):
             # buffers update truly in place across ticks (without
             # donation XLA copies the caches to preserve the caller's
             # buffers — exactly the write traffic ring mode removes)
-            self._step_beam = jax.jit(step_beam,
+            self._step_beam = jax.jit(step_beam, static_argnums=(7,),
                                       donate_argnums=(2,) if ring else ())
 
             def reset_dec(dec_state, fresh, mask):
@@ -205,14 +228,15 @@ class BatchStreamSession(object):
 
             self._reset_dec = jax.jit(reset_dec)
         else:
-            def step_greedy(variables, xs, states, active, packed):
+            def step_greedy(variables, xs, states, active, packed,
+                            exact_positions=False):
                 probs, merged = encoder_step(variables, xs, states, active,
-                                             packed)
+                                             packed, exact_positions)
                 ids = jnp.argmax(probs, axis=-1).astype(jnp.int32)
                 maxp = jnp.max(probs, axis=-1).astype(jnp.float32)
                 return ids, maxp, merged  # (N, CH) each
 
-            self._step_greedy = jax.jit(step_greedy,
+            self._step_greedy = jax.jit(step_greedy, static_argnums=(5,),
                                         donate_argnums=(2,) if ring else ())
 
         # per-slot host state
@@ -235,6 +259,7 @@ class BatchStreamSession(object):
         self._in_use[slot] = False
         self._cached_feat[slot] = None
         self._remainder[slot] = np.zeros(0, np.float32)
+        self._slot_frames[slot] = 0
         self._decoders[slot].reset()
         if self._dec_state is not None:
             mask = np.zeros((self.N,), bool)
@@ -266,6 +291,15 @@ class BatchStreamSession(object):
         multi-chunk tick. valids: {slot: valid OUTPUT frames this tick}
         → {slot: (score, text)}."""
         out = {}
+        # a slot past the position-table horizon flips this tick to the
+        # exact-positions program (separately compiled on first use)
+        adv = xs.shape[1] * DECODING_CHUNK_SIZE
+        exact = self._pos_cap is not None and any(
+            self._slot_frames[s] >= self._pos_cap
+            for s in range(self.N) if active[s])
+        for s in range(self.N):
+            if active[s]:
+                self._slot_frames[s] += adv
         if self._dec_state is not None:
             fv = np.zeros((self.N, xs.shape[1] * DECODING_CHUNK_SIZE), bool)
             for slot, n in valids.items():
@@ -273,7 +307,7 @@ class BatchStreamSession(object):
             best, self.states, self._dec_state = self._step_beam(
                 self.ip.variables, jnp.asarray(xs), self.states,
                 self._dec_state, jnp.asarray(active), jnp.asarray(fv),
-                self._packed_chunk)
+                self._packed_chunk, exact)
             tokens, lengths, scores = (np.asarray(x) for x in best)
             for slot, n in valids.items():
                 if n:
@@ -282,7 +316,7 @@ class BatchStreamSession(object):
             return out
         ids, maxp, self.states = self._step_greedy(
             self.ip.variables, jnp.asarray(xs), self.states,
-            jnp.asarray(active), self._packed_chunk)
+            jnp.asarray(active), self._packed_chunk, exact)
         ids, maxp = np.asarray(ids), np.asarray(maxp)
         for slot, n in valids.items():
             n = min(n, ids.shape[1])

@@ -416,7 +416,8 @@ class ConformerEncoder(nn.Module):
 
     def forward_chunk_batched(self, xs, offsets, att_cache, cnn_cache,
                               cache_lens, packed=None, att_scale=None,
-                              wptrs=None, active=None):
+                              wptrs=None, active=None,
+                              exact_positions=False):
         """Batched streaming chunk step with PER-SLOT offsets/validity —
         the fused-kernel analogue of vmapping forward_chunk (one
         pallas_call per layer; see ops/pallas/chunk_layer.py).
@@ -478,7 +479,14 @@ class ConformerEncoder(nn.Module):
         # cache depth to be multiples of 8 (engine offsets advance by
         # the chunk size); otherwise fall back to the posp einsum using
         # the wpos the pack keeps alongside the table.
-        use_table = (len(packed[0]) == 3
+        # exact_positions=True forces the per-tick sinusoid+einsum route
+        # even when the pack carries position tables: the einsum computes
+        # PE(offset) directly from the traced offsets, so it is exact at
+        # ANY offset — the engine switches to it for ticks where a slot
+        # has outlived the table window, replacing the old silent
+        # position freeze (the reference CRASHES there,
+        # conformer/embedding.py:50).
+        use_table = (not exact_positions and len(packed[0]) == 3
                      and chunk % (8 * n_sub) == 0 and C % 8 == 0)
         if use_table:
             pos_or_starts = clamp_pos_starts(offsets,
@@ -771,12 +779,14 @@ class ConformerModel(nn.Module):
                 and self.encoder.fused_chunk_eligible(chunk, cache_size,
                                                       batch))
 
-    def pack_chunk_params(self, cache_size=None):
+    def pack_chunk_params(self, cache_size=None, pos_table_len=8192):
         """→ packed weights for the fused chunk step (compute once at
         session init, pass to get_encoder_out_chunk_batched); cache_size
         bakes the per-layer HBM position tables (in-kernel positions
-        DMA)."""
-        return self.encoder.pack_chunk_params(cache_size=cache_size)
+        DMA); pos_table_len sizes their window (streams past it switch
+        to exact per-tick positions — engine/server knob)."""
+        return self.encoder.pack_chunk_params(cache_size=cache_size,
+                                              pos_table_len=pos_table_len)
 
     def chunk_ring_ok(self, chunk, cache_size, batch):
         """Static check: can the batched chunk step run RING-BUFFER att
@@ -787,7 +797,7 @@ class ConformerModel(nn.Module):
                                                      batch))
 
     def get_encoder_out_chunk_batched(self, speech, state, packed=None,
-                                      active=None):
+                                      active=None, exact_positions=False):
         """Batched streaming chunk step over N slots with per-slot
         offsets/cache validity (the batch engine's stacked-state layout:
         every leaf leads with N; caches carry the per-slot batch=1 axis).
@@ -807,7 +817,8 @@ class ConformerModel(nn.Module):
                 state["cnn_cache"], state["cache_len"], packed=packed,
                 wptrs=state["wptr"],
                 active=(jnp.ones_like(state["wptr"], bool)
-                        if active is None else active))
+                        if active is None else active),
+                exact_positions=exact_positions)
             chunk = ys.shape[1]
             C = state["att_cache"][0].shape[2]
             new_state = {
@@ -825,11 +836,12 @@ class ConformerModel(nn.Module):
         if sc is not None:
             ys, na, ns, nc = self.encoder.forward_chunk_batched(
                 speech, state["offset"], att_l, cnn_l, state["cache_len"],
-                packed=packed, att_scale=sc[:, :, 0].transpose(1, 0, 2, 3))
+                packed=packed, att_scale=sc[:, :, 0].transpose(1, 0, 2, 3),
+                exact_positions=exact_positions)
         else:
             ys, na, nc = self.encoder.forward_chunk_batched(
                 speech, state["offset"], att_l, cnn_l, state["cache_len"],
-                packed=packed)
+                packed=packed, exact_positions=exact_positions)
         chunk = ys.shape[1]
         new_state = {
             "att_cache": na.transpose(1, 0, 2, 3, 4)[:, :, None],

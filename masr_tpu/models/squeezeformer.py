@@ -495,15 +495,16 @@ class SqueezeformerEncoder(nn.Module):
             self.encoder_dim * self.feed_forward_expansion_factor,
             self.attention_heads, self.dtype)
 
-    def pack_chunk_params(self, cache_size=None):
+    def pack_chunk_params(self, cache_size=None, pos_table_len=8192):
         """Packed weights for the fused chunk path (BN folded to affine
         from running stats — exact in eval): {"layers": [(params, wpos)
         per layer], "tr": stream-time-reduction weights, "rec": recover
         Dense} — the reduce/recover weights ride along as plain arrays
         so the whole per-layer stack can run inside ONE shard_map on
         multi-device meshes (flax submodules can't be called inside a
-        JAX transform). cache_size is accepted for engine-call
-        compatibility; there is no HBM position-table route here."""
+        JAX transform). cache_size/pos_table_len are accepted for
+        engine-call compatibility; there is no HBM position-table route
+        here (positions always compute from the traced offsets)."""
         from masr_tpu.ops.pallas.squeezeformer_layer import \
             pack_sq_layer_params
         conv_ln = self.cnn_norm_type == "layer_norm"
@@ -533,7 +534,9 @@ class SqueezeformerEncoder(nn.Module):
         return out
 
     def forward_chunk_batched(self, xs, offsets, att_cache, cnn_cache,
-                              cache_lens, packed=None, att_scale=None):
+                              cache_lens, packed=None, att_scale=None,
+                              wptrs=None, active=None,
+                              exact_positions=False):
         """Batched streaming chunk step with PER-SLOT offsets/validity —
         the fused-kernel analogue of vmapping forward_chunk: one
         pallas_call per layer AT THAT LAYER'S RESOLUTION (half-rate
@@ -548,6 +551,12 @@ class SqueezeformerEncoder(nn.Module):
         from masr_tpu.ops.pallas.chunk_layer_sq import fused_chunk_layer_sq
         assert att_scale is None, \
             "squeezeformer fused chunk has no int8-cache variant"
+        # positions are always computed from the traced offsets here (no
+        # HBM table route), so exact_positions is inherently satisfied;
+        # ring caches exist for the Conformer kernel only
+        assert wptrs is None, \
+            "squeezeformer fused chunk has no ring-cache variant"
+        del active, exact_positions
         assert self.time_reduction_layer_type == "stream" or \
             not self.reduce_idx_list
         n_sub = 1

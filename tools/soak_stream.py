@@ -1,0 +1,117 @@
+"""Long-stream soak for the batched streaming engine (VERDICT r3 item
+5 evidence): feed HOURS of synthetic speech per slot faster than
+real-time, crossing the position-table horizon many times over, and
+record memory + partial-transcript health.
+
+What it proves:
+- memory stays FLAT (fixed-shape caches, ring buffers, bounded feature
+  windows — nothing grows with stream length),
+- partials stay sane past the old 8192-row freeze boundary (~5.3 min):
+  ticks switch to the exact-positions program automatically
+  (batch_stream.py _pos_cap) with no accuracy cliff,
+- the per-slot offset mirrors / wptr bookkeeping survive arbitrarily
+  long sessions (ring wrap-around count = minutes * 94 ticks).
+
+Usage:
+  python tools/soak_stream.py --model_dir examples/tiny_zh_synth/bundle \
+      --minutes 60 [--streams 2] [--pos_table_len 8192]
+Writes one JSON line per simulated minute (rss_mb, partial_len, rtf)
+and a final summary. Runs on TPU (fast) or CPU (FORCE_ON_CPU, slow —
+use --minutes 1).
+"""
+import argparse
+import json
+import os
+import resource
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def synth_minute(seed, sr=16000):
+    """One minute of speech-like audio: syllable-rate AM over gliding
+    harmonics + pauses (the VAD-friendly recipe from the test suite)."""
+    rs = np.random.RandomState(seed)
+    n = sr * 60
+    t = np.arange(n) / sr
+    f0 = 150 + 60 * np.sin(2 * np.pi * 0.23 * t + seed)
+    w = (0.5 * np.sin(2 * np.pi * f0 * t)
+         + 0.25 * np.sin(2 * np.pi * 2 * f0 * t))
+    am = 0.35 + 0.3 * np.clip(np.sin(2 * np.pi * 3.1 * t), 0, 1)
+    w *= am
+    # a pause every ~7 s
+    for p in range(8):
+        a = int((p * 7.3 + 5.0) * sr)
+        w[a:a + sr // 3] = 0.0
+    return (w + 0.01 * rs.standard_normal(n)).astype(np.float32) * 0.6
+
+
+def rss_mb():
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model_dir", required=True)
+    ap.add_argument("--minutes", type=int, default=60)
+    ap.add_argument("--streams", type=int, default=2)
+    ap.add_argument("--pos_table_len", type=int, default=8192)
+    ap.add_argument("--chunk_s", type=float, default=0.5)
+    args = ap.parse_args()
+
+    from masr_tpu.infer.predictor import MASRPredictor
+    from masr_tpu.infer.batch_stream import BatchStreamSession
+    predictor = MASRPredictor(args.model_dir, decoder="ctc_greedy",
+                              warmup=False)
+    sess = BatchStreamSession(
+        predictor.predictor, predictor._text_featurizer.vocab_list,
+        preprocess_conf=predictor.predictor.meta["preprocess_conf"],
+        max_streams=args.streams, pos_table_len=args.pos_table_len)
+    print(json.dumps({"fused": sess._use_fused_chunk, "ring": sess._ring,
+                      "pos_cap_frames": sess._pos_cap,
+                      "streams": args.streams}), flush=True)
+    slots = [sess.open() for _ in range(args.streams)]
+    step = int(16000 * args.chunk_s)
+    base_rss = rss_mb()
+    partial = {s: "" for s in slots}
+    rows = []
+    t_start = time.time()
+    for minute in range(args.minutes):
+        wav = synth_minute(minute)
+        t0 = time.time()
+        for i in range(0, len(wav), step):
+            piece = wav[i:i + step]
+            for k, slot in enumerate(slots):
+                out = sess.feed(slot, piece if k == 0 else piece[::-1])
+                if out is not None:
+                    partial[slot] = out["text"]
+        dt = time.time() - t0
+        row = {"minute": minute + 1, "rss_mb": round(rss_mb(), 1),
+               "rtf": round(args.streams * 60.0 / dt, 1),
+               "past_horizon": bool(
+                   sess._pos_cap is not None
+                   and sess._slot_frames[slots[0]] >= sess._pos_cap),
+               "partial_len": len(partial[slots[0]])}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    for slot in slots:
+        sess.close(slot)
+    growth = rows[-1]["rss_mb"] - rows[min(2, len(rows) - 1)]["rss_mb"]
+    summary = {
+        "minutes": args.minutes,
+        "wall_s": round(time.time() - t_start, 1),
+        "rss_base_mb": round(base_rss, 1),
+        "rss_final_mb": rows[-1]["rss_mb"],
+        "rss_growth_after_warmup_mb": round(growth, 1),
+        "crossed_horizon": any(r["past_horizon"] for r in rows),
+        "partials_sane": all(r["partial_len"] > 0 for r in rows[1:]),
+        "mean_rtf": round(float(np.mean([r["rtf"] for r in rows])), 1),
+    }
+    print(json.dumps({"summary": summary}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
