@@ -233,6 +233,11 @@ class SqueezeformerEncoder(nn.Module):
     # (ops/pallas/squeezeformer_layer.py) — same gating pattern as the
     # Conformer fused path; reduce/recover plumbing stays on XLA
     use_fused_layer: bool = True
+    # fused TRAIN layer (fwd + hand-written bwd with recompute,
+    # ops/pallas/squeezeformer_layer_train.py) — layer_norm-conv configs
+    # only (BatchNorm couples grads across the batch grid,
+    # design_deviations.md #14)
+    use_fused_layer_train: bool = True
     cmvn: Any = None
     dtype: jnp.dtype = jnp.float32
 
@@ -305,8 +310,17 @@ class SqueezeformerEncoder(nn.Module):
             decoding_chunk_size, self.static_chunk_size,
             num_decoding_left_chunks, rng=rng)
         xs = self.preln(xs)
-        fused = self._fused_eligible(decoding_chunk_size, train, T2,
-                                     xs.shape[0])
+        B = xs.shape[0]
+        fused = self._fused_eligible(decoding_chunk_size, train, T2, B)
+        fused_train = self._fused_train_eligible(train, T2, B)
+        seeds = None
+        if fused_train:
+            if self.dropout > 0 or self.attention_dropout_rate > 0:
+                seeds = jax.random.randint(
+                    self.make_rng("dropout"), (len(self.encoders), B), 0,
+                    jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+            else:
+                seeds = jnp.zeros((len(self.encoders), B), jnp.int32)
         cur_lens = mask_pad[:, 0, :].sum(axis=1).astype(jnp.int32)
         recover_acts: List[Tuple] = []
         index = 0
@@ -332,6 +346,9 @@ class SqueezeformerEncoder(nn.Module):
                     r_chunk_masks, r_pos_emb, r_mask_pad, r_lens)
             if fused:
                 xs = self._fused_layer(layer, xs, cur_lens, pos_emb)
+            elif fused_train:
+                xs = self._fused_train_layer(layer, xs, chunk_masks,
+                                             seeds[i], cur_lens, pos_emb)
             else:
                 xs, _, _ = layer(xs, chunk_masks, pos_emb, mask_pad,
                                  train=train)
@@ -362,6 +379,67 @@ class SqueezeformerEncoder(nn.Module):
             T, self.encoder_dim,
             self.encoder_dim * self.feed_forward_expansion_factor,
             self.dtype)
+
+    def _fused_train_eligible(self, train, T, B):
+        """Fused TRAIN layer: layer_norm-conv configs only (the BatchNorm
+        default couples gradients across the batch grid — the XLA path
+        keeps it, design_deviations.md #14)."""
+        if not (self.use_fused_layer_train and train
+                and not self.is_initializing()
+                and self.pos_enc_layer_type == "rel_pos"
+                and not self.normalize_before
+                and self.cnn_norm_type == "layer_norm"):
+            return False
+        from masr_tpu.ops.pallas import conformer_layer as cl
+        if not (jax.default_backend() == "tpu" or cl.FORCE_ON_CPU):
+            return False
+        from masr_tpu.parallel.mesh import fused_route_mesh
+        if not fused_route_mesh(B)[0]:
+            return False
+        from masr_tpu.ops.pallas.squeezeformer_layer_train import (
+            fused_sq_train_supported)
+        return fused_sq_train_supported(
+            T, self.encoder_dim,
+            self.encoder_dim * self.feed_forward_expansion_factor,
+            self.dtype)
+
+    def _fused_train_layer(self, layer, xs, chunk_masks, seeds, cur_lens,
+                           pos_emb):
+        """One fused TRAIN layer call at the current time resolution;
+        multi-device wraps it in shard_map over the active mesh (batch
+        over every axis, weights broadcast)."""
+        from jax.sharding import PartitionSpec as P
+        from masr_tpu.parallel.mesh import fused_route_mesh
+        from masr_tpu.ops.pallas.squeezeformer_layer import (
+            pack_sq_layer_params)
+        from masr_tpu.ops.pallas.squeezeformer_layer_train import (
+            fused_squeezeformer_layer_train)
+        packed = pack_sq_layer_params(
+            layer.variables["params"], None, self.dtype,
+            adaptive_scale=self.adaptive_scale, conv_ln=True)
+        packed["posp"] = jnp.einsum(
+            "td,de->te", pos_emb[0].astype(self.dtype),
+            packed.pop("linear_pos"),
+            preferred_element_type=jnp.float32).astype(self.dtype)[None]
+        B, T = xs.shape[0], xs.shape[1]
+        amask = jnp.broadcast_to(chunk_masks, (B, T, T))
+        interpret = jax.default_backend() != "tpu"
+
+        def call(x, am, sd, lens, pk):
+            return fused_squeezeformer_layer_train(
+                x, am, sd, lens, pk, self.attention_heads,
+                self.cnn_module_kernel, self.causal, 1e-6, 1e-5,
+                float(self.dropout), float(self.attention_dropout_rate),
+                True, interpret)
+
+        ok, mesh = fused_route_mesh(B)
+        if mesh is None:
+            return call(xs, amask, seeds, cur_lens, packed)
+        ax = tuple(mesh.axis_names)
+        return jax.shard_map(
+            call, mesh=mesh, in_specs=(P(ax), P(ax), P(ax), P(ax), P()),
+            out_specs=P(ax), check_vma=False,
+        )(xs, amask, seeds, cur_lens, packed)
 
     def _fused_layer(self, layer, xs, cur_lens, pos_emb):
         """One fused layer call; multi-device wraps it in shard_map over

@@ -198,9 +198,14 @@ def _shim_reference():
         sys.path.insert(0, "/root/reference")
 
 
-def train_reference(batches, vocab, mean_istd_path, epochs, log, seed=17):
+def train_reference(batches, vocab, mean_istd_path, epochs, log, seed=17,
+                    eval_fn=None, eval_every=0):
     """The reference's ConformerModel + WarmupLR trained with the
-    reference's step semantics (trainer.py:347-427)."""
+    reference's step semantics (trainer.py:347-427). eval_fn(model) → CER
+    every eval_every epochs implements the reference's own best-checkpoint
+    selection (trainer.py:572-590 keeps best_model by test cer); the
+    best state_dict is restored before returning."""
+    import copy
     import torch
     torch.set_num_threads(max(os.cpu_count() - 2, 1))
     _shim_reference()
@@ -216,6 +221,7 @@ def train_reference(batches, vocab, mean_istd_path, epochs, log, seed=17):
     opt = torch.optim.Adam(model.parameters(), lr=LR, weight_decay=1e-6)
     sched = WarmupLR(opt, warmup_steps=WARMUP, min_lr=1e-5)
     curves = []
+    best = (None, None, None)                  # (cer, epoch, state_dict)
     for ep in range(epochs):
         losses = []
         for b in batches:
@@ -233,6 +239,16 @@ def train_reference(batches, vocab, mean_istd_path, epochs, log, seed=17):
             losses.append(float(loss.detach()))
         curves.append(float(np.mean(losses)))
         log(f"[torch] epoch {ep + 1}/{epochs} loss {curves[-1]:.4f}")
+        if eval_fn and eval_every and (ep + 1) % eval_every == 0:
+            cer = eval_fn(model)
+            model.train()
+            log(f"[torch] epoch {ep + 1} eval CER {cer:.4f}")
+            if best[0] is None or cer < best[0]:
+                best = (cer, ep + 1,
+                        copy.deepcopy(model.state_dict()))
+    if best[2] is not None:
+        model.load_state_dict(best[2])
+        log(f"[torch] best epoch {best[1]} (CER {best[0]:.4f}) restored")
     return model, curves
 
 
@@ -256,7 +272,11 @@ def reference_probs(model, batches):
 # ------------------------------------------------------------------ #
 
 
-def train_ours(batches, vocab, mean_istd_path, epochs, log, seed=23):
+def train_ours(batches, vocab, mean_istd_path, epochs, log, seed=23,
+               eval_fn=None, eval_every=0):
+    """eval_fn(model, state) → CER every eval_every epochs; the best
+    params are restored before returning (mirrors the reference trainer's
+    best-checkpoint-by-cer selection, trainer.py:572-590)."""
     import jax
     import jax.numpy as jnp
     from masr_tpu.models.registry import build_model
@@ -286,6 +306,7 @@ def train_ours(batches, vocab, mean_istd_path, epochs, log, seed=23):
                               variables.get("batch_stats"))
     train_step = jax.jit(make_train_step(model, tx))
     curves = []
+    best = (None, None, None)                  # (cer, epoch, params)
     step_rng = jax.random.PRNGKey(seed * 1000 + 101)
     for ep in range(epochs):
         losses = []
@@ -297,6 +318,15 @@ def train_ours(batches, vocab, mean_istd_path, epochs, log, seed=23):
             losses.append(float(metrics["loss"]))
         curves.append(float(np.mean(losses)))
         log(f"[jax]   epoch {ep + 1}/{epochs} loss {curves[-1]:.4f}")
+        if eval_fn and eval_every and (ep + 1) % eval_every == 0:
+            cer = eval_fn(model, state)
+            log(f"[jax]   epoch {ep + 1} eval CER {cer:.4f}")
+            if best[0] is None or cer < best[0]:
+                best = (cer, ep + 1, jax.tree.map(lambda a: a.copy(),
+                                                  state.params))
+    if best[2] is not None:
+        state = state.replace(params=best[2])
+        log(f"[jax]   best epoch {best[1]} (CER {best[0]:.4f}) restored")
     return model, state, curves
 
 
@@ -360,6 +390,11 @@ def main():
     ap.add_argument("--test_snr", type=float, default=0.0,
                     help="hard mode: fixed test SNR dB")
     ap.add_argument("--speakers", type=int, default=2)
+    ap.add_argument("--eval_every", type=int, default=0,
+                    help="per-epoch-interval eval + best-checkpoint "
+                         "selection (the reference trainer's own "
+                         "methodology, trainer.py:572-590); 0 = off "
+                         "(report the final epoch)")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     logf = open(os.path.join(args.out, "log.txt"), "a")
@@ -402,6 +437,7 @@ def main():
                          "test_snr": te_snr, "speakers": args.speakers,
                          "n_chars": len(chars),
                          "sent_len": [len_lo, len_hi - 1],
+                         "eval_every": args.eval_every,
                          "n_train": args.n_train, "n_test": args.n_test},
               "masr_tpu": {"runs": []}, "reference": {"runs": []}}
     curves = {}
@@ -415,16 +451,29 @@ def main():
         log(f"[{side}] seed={seed} test CER "
             f"greedy={g_cer:.4f} beam={b_cer:.4f}")
 
+    def eval_jax(model, state):
+        probs = ours_probs(model, state, te_batches)
+        cer, _ = decode_cer(probs, te_refs, vocab, beam=False)
+        return cer
+
+    def eval_torch(model):
+        probs = reference_probs(model, te_batches)
+        cer, _ = decode_cer(probs, te_refs, vocab, beam=False)
+        return cer
+
+    ee = args.eval_every
     for seed in seeds:
         if args.skip != "jax":
-            jm, jstate, jcurve = train_ours(tr_batches, vocab, mean_istd,
-                                            args.epochs, log, seed=seed)
+            jm, jstate, jcurve = train_ours(
+                tr_batches, vocab, mean_istd, args.epochs, log, seed=seed,
+                eval_fn=eval_jax if ee else None, eval_every=ee)
             curves[f"jax_s{seed}"] = jcurve
             finish("masr_tpu", ours_probs(jm, jstate, te_batches),
                    seed, jcurve)
         if args.skip != "torch":
-            tm, tcurve = train_reference(tr_batches, vocab, mean_istd,
-                                         args.epochs, log, seed=seed)
+            tm, tcurve = train_reference(
+                tr_batches, vocab, mean_istd, args.epochs, log, seed=seed,
+                eval_fn=eval_torch if ee else None, eval_every=ee)
             curves[f"torch_s{seed}"] = tcurve
             finish("reference", reference_probs(tm, te_batches),
                    seed, tcurve)
