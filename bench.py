@@ -311,6 +311,89 @@ def bench_train_step(B=16, count_flops=True):
     return float(np.median(times)), flops
 
 
+def bench_sq_train_step(B=16):
+    """Squeezeformer train step (layer_norm-conv config → fused TRAIN
+    kernels, ops/pallas/squeezeformer_layer_train.py), B × 12 s bf16 AMP
+    → (per_step_s, flops, fused_secs/xla_secs ablation). The reference
+    default (batch_norm) keeps the XLA path; this row prices the fused
+    lever on the config it exists for (VERDICT r3 item 6)."""
+    import yaml
+    import jax
+    import jax.numpy as jnp
+    from masr_tpu.models.registry import build_model
+    from masr_tpu.models.cmvn import GlobalCMVN
+    from masr_tpu.optimizer.schedulers import build_optimizer
+    from masr_tpu.training.train_state import (TrainState, make_train_step,
+                                               train_rng)
+    with open("configs/squeezeformer.yml", encoding="utf-8") as f:
+        cfg = yaml.safe_load(f)
+
+    def build_sq(fused):
+        enc = dict(cfg.get("encoder_conf") or {})
+        enc["cnn_norm_type"] = "layer_norm"
+        enc["use_fused_layer_train"] = fused
+        enc["use_fused_layer"] = False
+        return build_model(
+            "squeezeformer", FEAT, VOCAB_SIZE, streaming=True,
+            encoder_conf=enc, decoder_conf=cfg.get("decoder_conf") or {},
+            model_conf=dict(ctc_weight=0.3),
+            cmvn=GlobalCMVN(np.zeros(FEAT), np.ones(FEAT)),
+            dtype=jnp.bfloat16)
+
+    T, L = 1200, 30
+    rs = np.random.RandomState(0)
+    batch0 = {
+        "inputs": jnp.asarray(rs.standard_normal((B, T, FEAT)), jnp.float32),
+        "input_lens": jnp.full((B,), T, jnp.int32),
+        "labels": jnp.asarray(rs.randint(2, VOCAB_SIZE - 1, (B, L)),
+                              jnp.int32),
+        "label_lens": jnp.full((B,), L, jnp.int32)}
+    tx, _ = build_optimizer(
+        {"optimizer": "Adam", "learning_rate": 1e-3, "weight_decay": 1e-6,
+         "scheduler": "WarmupLR", "scheduler_conf": {"warmup_steps": 25000}},
+        grad_clip=5.0, accum_grad=1)
+    rng = train_rng(0)
+    K = 32
+    out = {}
+    flops = None
+    for key, fused in (("xla", False), ("fused", True)):
+        model = build_sq(fused)
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(0),
+             "chunk": jax.random.PRNGKey(0)},
+            batch0["inputs"][:2], batch0["input_lens"][:2],
+            batch0["labels"][:2], batch0["label_lens"][:2], train=True)
+        state = TrainState.create(model.apply, variables["params"], tx,
+                                  variables.get("batch_stats"))
+        step_fn = make_train_step(model, tx)
+        if key == "xla":
+            flops = xla_flops(jax.jit(step_fn), state, batch0, rng)
+
+        @jax.jit
+        def steps_k(state, batch, rng):
+            def body(st, i):
+                b = dict(batch)
+                b["inputs"] = batch["inputs"] + 1e-6 * i.astype(jnp.float32)
+                st, m = step_fn(st, b, jax.random.fold_in(rng, i))
+                return st, m["loss"]
+            st, losses = jax.lax.scan(body, state, jnp.arange(K))
+            return st, jnp.sum(losses)
+
+        state, s = steps_k(state, batch0, rng)
+        float(s)
+        times = []
+        for i in range(3):
+            batch = dict(batch0)
+            batch["inputs"] = batch0["inputs"] + jnp.float32(1e-5 * (i + 1))
+            t0 = time.perf_counter()
+            state, s = steps_k(state, batch, rng)
+            float(s)
+            times.append((time.perf_counter() - t0) / K)
+        out[key] = float(np.median(times))
+    return out, flops
+
+
 def mfu(flops, secs, peak):
     if flops is None or peak is None or secs <= 0:
         return None
@@ -474,21 +557,25 @@ def main():
             f"{secs * 1e3:.1f} ms, {audio_s / secs:.0f}x realtime, "
             f"MFU {full[key]['mfu']}")
 
-    # per-family full-context serving (VERDICT r2 item 6: visible numbers
-    # for every model family, not just the flagship) — reference-default
-    # configs from configs/*.yml, B=8×12 s bf16
+    # per-family full-context serving at the FLAGSHIP batch (VERDICT r3
+    # item 4: comparable B=32 rows for all four families) —
+    # reference-default configs from configs/*.yml, bf16. XLA's
+    # cost_analysis cannot count FLOPs inside Pallas kernels, so each
+    # family's XLA route prices its fused route (same math) — the r3
+    # B=8 rows under-reported fused-family MFU by pricing with the
+    # near-zero in-kernel count.
     families = {}
     try:
         import yaml
         from masr_tpu.models.registry import build_model
         from masr_tpu.models.cmvn import GlobalCMVN
         import jax.numpy as jnp2
-        for fam in ("squeezeformer", "efficient_conformer", "deepspeech2"):
-            with open(f"configs/{fam}.yml", encoding="utf-8") as f:
-                cfg = yaml.safe_load(f)
+
+        def build_family(fam, cfg, **extra_enc):
+            enc = dict(cfg.get("encoder_conf") or {})
+            enc.update(extra_enc)
             m = build_model(
-                fam, FEAT, VOCAB_SIZE, streaming=True,
-                encoder_conf=cfg.get("encoder_conf") or {},
+                fam, FEAT, VOCAB_SIZE, streaming=True, encoder_conf=enc,
                 decoder_conf=cfg.get("decoder_conf") or {},
                 model_conf=dict(ctc_weight=1.0) if fam == "deepspeech2"
                 else dict(ctc_weight=0.3),
@@ -501,14 +588,41 @@ def main():
                 jnp2.zeros((1, WINDOW, FEAT)), jnp2.asarray([WINDOW]),
                 jnp2.ones((1, 4), jnp2.int32), jnp2.asarray([4]),
                 train=False)
-            secs, flops = bench_full_context(m, vfam, batch=8, T=T_full,
-                                             K=32)
-            audio_s = 8 * T_full * 0.01
-            families[fam] = dict(ms=secs * 1e3, rtf=audio_s / secs,
-                                 mfu=mfu(flops, secs, peak))
-            log(f"full-context encode B=8×12 s (bf16, {fam}): "
-                f"{secs * 1e3:.1f} ms, {audio_s / secs:.0f}x realtime, "
-                f"MFU {families[fam]['mfu']}")
+            return m, vfam
+
+        B_FAM = 32
+        for fam in ("squeezeformer", "efficient_conformer", "deepspeech2"):
+            with open(f"configs/{fam}.yml", encoding="utf-8") as f:
+                cfg = yaml.safe_load(f)
+            audio_s = B_FAM * T_full * 0.01
+            row = {}
+            fam_flops = None
+            variants = [("xla", dict(use_fused_layer=False)),
+                        ("fused", {})] if fam != "deepspeech2" \
+                else [("xla", {})]
+            for key, extra in variants:
+                try:
+                    m, vfam = build_family(fam, cfg, **extra)
+                    secs, flops = bench_full_context(m, vfam, batch=B_FAM,
+                                                     T=T_full, K=32)
+                except Exception as e:
+                    log(f"{fam} {key} full-context unavailable: {e}")
+                    continue
+                if key == "xla":
+                    fam_flops = flops
+                row[key] = dict(ms=secs * 1e3, rtf=audio_s / secs,
+                                mfu=mfu(fam_flops, secs, peak))
+                log(f"full-context encode B={B_FAM}×12 s (bf16, {fam}, "
+                    f"{key}): {secs * 1e3:.1f} ms, "
+                    f"{audio_s / secs:.0f}x realtime, "
+                    f"MFU {row[key]['mfu']}")
+            best = row.get("fused") or row.get("xla")
+            if best:
+                families[fam] = dict(best, xla_rtf=(row.get("xla") or {})
+                                     .get("rtf"))
+        # deepspeech2 is RNN-bound: 5 sequential LSTM layers keep the MXU
+        # idle between tiny (B, 4·H)×(H, 4·H) steps — its MFU ceiling is
+        # structural, not a tuning gap (docs/status.md)
     except Exception as e:
         log(f"family bench unavailable: {e}")
 
@@ -600,6 +714,19 @@ def main():
     log(f"train step B=32×12 s (bf16 AMP): {train32_secs * 1e3:.1f} ms/step,"
         f" MFU {train32_mfu}")
 
+    # squeezeformer train step (layer_norm config → fused train kernels)
+    sq_train = {}
+    try:
+        sq_secs, sq_flops = bench_sq_train_step(B=16)
+        sq_train = {"fused_ms": sq_secs["fused"] * 1e3,
+                    "xla_ms": sq_secs["xla"] * 1e3,
+                    "mfu": mfu(sq_flops, sq_secs["fused"], peak)}
+        log(f"squeezeformer train step B=16×12 s (layer_norm, fused): "
+            f"{sq_secs['fused'] * 1e3:.1f} ms/step "
+            f"(xla {sq_secs['xla'] * 1e3:.1f}), MFU {sq_train['mfu']}")
+    except Exception as e:
+        log(f"squeezeformer train bench unavailable: {e}")
+
     baseline_rtf = 5.5  # reference GPU streaming demo midpoint (BASELINE.md)
     print(json.dumps({
         "metric": "streaming_conformer_rtf",
@@ -641,6 +768,15 @@ def main():
         "train_mfu": train_mfu,
         "train_b32_step_ms": round(train32_secs * 1e3, 1),
         "train_b32_mfu": train32_mfu,
+        "sq_train_fused_ms": (round(sq_train["fused_ms"], 1)
+                              if sq_train else None),
+        "sq_train_xla_ms": (round(sq_train["xla_ms"], 1)
+                            if sq_train else None),
+        "sq_train_mfu": sq_train.get("mfu"),
+        "family_b32": {fam: {"rtf": round(r["rtf"], 1), "mfu": r["mfu"],
+                             "xla_rtf": (round(r["xla_rtf"], 1)
+                                         if r.get("xla_rtf") else None)}
+                       for fam, r in families.items()} or None,
         "device_beam_ms_per_utt": round(beam_ms_utt, 2),
         "device": dev.device_kind,
     }))

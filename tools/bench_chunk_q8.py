@@ -35,6 +35,8 @@ def main():
         res = {}
         for name, kw in (("bf16/posp", dict(pos_tables=False)),
                          ("bf16/table", dict(pos_tables=True)),
+                         ("ring/table", dict(pos_tables=True, ring=True)),
+                         ("ring/posp", dict(pos_tables=False, ring=True)),
                          ("int8/posp", dict(pos_tables=False,
                                             kv_int8=True)),
                          ("int8/table", dict(pos_tables=True,
@@ -45,6 +47,8 @@ def main():
                                                K=64)),
                          ("bf16/table/k4", dict(pos_tables=True, tick_k=4,
                                                 K=64)),
+                         ("ring/table/k4", dict(pos_tables=True, tick_k=4,
+                                                ring=True, K=64)),
                          ("int8/posp/k4", dict(pos_tables=False, tick_k=4,
                                                kv_int8=True, K=64)),
                          ("int8/table/k4", dict(pos_tables=True, tick_k=4,
@@ -63,6 +67,9 @@ def main():
         if "bf16/posp" in res and "int8/table" in res:
             print(f"B={B}: int8 total speedup "
                   f"{res['bf16/posp'] / res['int8/table']:.2f}x")
+        if "bf16/table" in res and "ring/table" in res:
+            print(f"B={B}: ring-cache speedup vs roll "
+                  f"{res['bf16/table'] / res['ring/table']:.2f}x")
         if "bf16/posp" in res and "bf16/table/k4" in res:
             print(f"B={B}: k=4 multi-chunk throughput gain "
                   f"{res['bf16/posp'] / res['bf16/table/k4']:.2f}x")

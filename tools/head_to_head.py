@@ -367,7 +367,12 @@ def decode_cer(prob_list, refs, vocab, beam=False):
         from masr_tpu.decoders.greedy import greedy_decoder_batch
         hyps = [text for _, text in
                 greedy_decoder_batch(prob_list, vocab)]
-    cers = [cer(h, r) for h, r in zip(hyps, refs)]
+    # cer(reference, hypothesis) — the denominator is the REFERENCE
+    # length (a latent arg swap here normalized by hypothesis length
+    # until r4; both frameworks were measured identically so comparisons
+    # held, but absolutes were subtly off and empty early-training
+    # hypotheses crashed the eval)
+    cers = [cer(r, h) for h, r in zip(hyps, refs)]
     return float(np.mean(cers)), hyps
 
 
