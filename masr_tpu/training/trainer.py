@@ -241,6 +241,14 @@ class MASRTrainer(object):
         variables = jax.jit(self.model.init, static_argnames=("train",))(
             {"params": rng, "dropout": rng, "chunk": rng}, *dummy, train=True)
         params = variables["params"]
+        if str(self.configs.get("train_conf", {}).get(
+                "init_type", "flax")) == "torch_default":
+            # reference-default init distributions (torch kaiming_uniform
+            # kernels + uniform biases) — what the reference's own runs
+            # start from; see models/initializers.py
+            from masr_tpu.models.initializers import torch_default_reinit
+            params = torch_default_reinit(params, jax.random.fold_in(rng, 1))
+            variables = dict(variables, params=params)
         batch_stats = variables.get("batch_stats")
         if is_train:
             t = self.configs.train_conf

@@ -273,7 +273,7 @@ def reference_probs(model, batches):
 
 
 def train_ours(batches, vocab, mean_istd_path, epochs, log, seed=23,
-               eval_fn=None, eval_every=0):
+               eval_fn=None, eval_every=0, torch_init=False):
     """eval_fn(model, state) → CER every eval_every epochs; the best
     params are restored before returning (mirrors the reference trainer's
     best-checkpoint-by-cer selection, trainer.py:572-590)."""
@@ -297,12 +297,20 @@ def train_ours(batches, vocab, mean_istd_path, epochs, log, seed=23,
         jnp.asarray(b0["inputs"][:2]), jnp.asarray(b0["input_lens"][:2]),
         jnp.asarray(b0["labels"][:2]), jnp.asarray(b0["label_lens"][:2]),
         train=True)
+    params = variables["params"]
+    if torch_init:
+        # reference-default init parity: torch kaiming_uniform kernels +
+        # uniform biases instead of flax lecun_normal + zeros
+        # (models/initializers.py) — the same distributions the
+        # reference's own runs start from
+        from masr_tpu.models.initializers import torch_default_reinit
+        params = torch_default_reinit(params, jax.random.PRNGKey(seed + 7))
     tx, _ = build_optimizer(
         {"optimizer": "Adam", "learning_rate": LR, "weight_decay": 1e-6,
          "scheduler": "WarmupLR",
          "scheduler_conf": {"warmup_steps": WARMUP, "min_lr": 1e-5}},
         grad_clip=CLIP, accum_grad=1)
-    state = TrainState.create(model.apply, variables["params"], tx,
+    state = TrainState.create(model.apply, params, tx,
                               variables.get("batch_stats"))
     train_step = jax.jit(make_train_step(model, tx))
     curves = []
@@ -400,6 +408,10 @@ def main():
                          "selection (the reference trainer's own "
                          "methodology, trainer.py:572-590); 0 = off "
                          "(report the final epoch)")
+    ap.add_argument("--torch_init", action="store_true",
+                    help="start the jax side from torch-default init "
+                         "distributions (models/initializers.py) — "
+                         "matches what reference runs start from")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     logf = open(os.path.join(args.out, "log.txt"), "a")
@@ -443,6 +455,7 @@ def main():
                          "n_chars": len(chars),
                          "sent_len": [len_lo, len_hi - 1],
                          "eval_every": args.eval_every,
+                         "torch_init": args.torch_init,
                          "n_train": args.n_train, "n_test": args.n_test},
               "masr_tpu": {"runs": []}, "reference": {"runs": []}}
     curves = {}
@@ -471,7 +484,8 @@ def main():
         if args.skip != "jax":
             jm, jstate, jcurve = train_ours(
                 tr_batches, vocab, mean_istd, args.epochs, log, seed=seed,
-                eval_fn=eval_jax if ee else None, eval_every=ee)
+                eval_fn=eval_jax if ee else None, eval_every=ee,
+                torch_init=args.torch_init)
             curves[f"jax_s{seed}"] = jcurve
             finish("masr_tpu", ours_probs(jm, jstate, te_batches),
                    seed, jcurve)
