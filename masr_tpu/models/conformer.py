@@ -429,7 +429,8 @@ class ConformerEncoder(nn.Module):
         kernel (fused_chunk_layer_q8: half the cache DMA, bigger slot
         blocks — docs/streaming_roofline.md).
         wptrs + active (optional): RING-BUFFER att caches — att_cache is
-        then a TUPLE of L per-layer (N, h, C, 2·d_k) ring arrays (row
+        then a TUPLE of L per-layer (N, h, 2·C, 2·d_k) MIRRORED ring
+        arrays (rows [C, 2·C) duplicate rows [0, C); row
         wptr[s] = oldest cached frame of slot s); each layer's kernel
         writes only its c fresh rows back (aliased buffers: inputs are
         consumed) and inactive slots' rings stay untouched. The returned
@@ -463,7 +464,8 @@ class ConformerEncoder(nn.Module):
                             xs.shape[2])
         N, chunk = xs.shape[0], xs.shape[1]
         ring = wptrs is not None
-        C = att_cache[0].shape[2] if ring else att_cache.shape[3]
+        # mirrored ring buffers carry 2·C rows (chunk_layer.py ring mode)
+        C = att_cache[0].shape[2] // 2 if ring else att_cache.shape[3]
         L = C + chunk
         if packed is None:
             packed = self.pack_chunk_params()
@@ -610,16 +612,20 @@ class ConformerEncoder(nn.Module):
         """Zeroed streaming cache pytree. kv_int8=True lays the attention
         cache out as int8 + per-row f32 scales for the quantized fused
         chunk kernel (fused_chunk_layer_q8) — batched-engine only.
-        ring=True lays the attention cache out as per-layer RING buffers
-        (a tuple of L (batch, h, C, 2·d_k) arrays + per-slot 'wptr')
-        for the ring-write fused kernel — batched-engine only; leaves are
-        already batch-leading at the full slot count (no stacking)."""
+        ring=True lays the attention cache out as per-layer MIRRORED RING
+        buffers (a tuple of L (batch, h, 2·C, 2·d_k) arrays — rows
+        [C, 2·C) duplicate rows [0, C) so the kernel's chronological
+        window [wp, wp + C) is one contiguous DMA — plus a per-slot
+        'wptr') for the ring-write fused kernel — batched-engine only;
+        leaves are already batch-leading at the full slot count (no
+        stacking)."""
         C = cache_size if cache_size is not None else chunk_size * num_left_chunks
         if ring:
             assert not kv_int8, "ring caches are bf16-only"
             att = tuple(
-                jnp.zeros((batch, self.attention_heads, C, 2 * self.d_k),
-                          self.dtype) for _ in range(self.num_blocks))
+                jnp.zeros((batch, self.attention_heads, 2 * C,
+                           2 * self.d_k), self.dtype)
+                for _ in range(self.num_blocks))
             cnn = jnp.zeros((self.num_blocks, batch, max(self.lorder, 1),
                              self.output_size), self.dtype)
             return {"att_cache": att, "cnn_cache": cnn,
@@ -805,7 +811,8 @@ class ConformerModel(nn.Module):
         runs ONE fused pallas_call per layer (ops/pallas/chunk_layer.py)
         instead of ~20 small XLA ops.
         RING layout (state has 'wptr'; init_cache(ring=True)): att_cache
-        is a tuple of per-layer (N, h, C, 2·d_k) ring buffers and
+        is a tuple of per-layer (N, h, 2·C, 2·d_k) mirrored ring buffers
+        and
         cnn_cache is (L, N, lorder, D) — the caches never round-trip
         through XLA (no transposes/stack), the kernels write only the
         fresh rows in place, and `active` (N,) bool gates the writes.
@@ -820,7 +827,7 @@ class ConformerModel(nn.Module):
                         if active is None else active),
                 exact_positions=exact_positions)
             chunk = ys.shape[1]
-            C = state["att_cache"][0].shape[2]
+            C = state["att_cache"][0].shape[2] // 2   # mirrored ring
             new_state = {
                 "att_cache": new_att, "cnn_cache": new_cnn,
                 "offset": state["offset"] + chunk,

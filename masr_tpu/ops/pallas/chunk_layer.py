@@ -52,12 +52,15 @@ def _kernel(*refs, n_head, d_k, ksize, ff_scale, eps, table=False,
     # one contiguous window per slot is exact; see make_chunk_pos_table).
     # Saves the per-tick sinusoid + per-layer posp einsum and its HBM
     # round-trip.
-    # ring: the att cache is a RING BUFFER in HBM (ANY-space, aliased
-    # input/output): the kernel reads each slot's full (h, C, 2·d_k)
-    # slice by DMA, rotates it to chronological order in VMEM
-    # (pltpu.roll by the per-slot write pointer), and writes ONLY the c
-    # fresh K/V rows back at the pointer — cache HBM write traffic drops
-    # C/c-fold (16× at the defaults) vs the roll-and-rewrite layout, and
+    # ring: the att cache is a MIRRORED RING BUFFER in HBM (ANY-space,
+    # aliased input/output, 2·C rows per slot·head: rows [C, 2·C) always
+    # equal rows [0, C)). The kernel DMAs each slot's window
+    # [wp, wp + C) — which IS the chronological order, oldest first —
+    # and writes the c fresh K/V rows back at the pointer in BOTH
+    # mirrors. No in-VMEM rotate at all (Mosaic cannot lower a dynamic
+    # sublane rotate on 16-bit vectors), and cache HBM write traffic
+    # still drops C/(2·c)-fold (8× at the defaults) vs the
+    # roll-and-rewrite layout, and
     # the cache never round-trips through XLA (no transpose/stack/merge
     # copies either; docs/streaming_roofline.md).
     it = iter(refs)
@@ -107,11 +110,21 @@ def _kernel(*refs, n_head, d_k, ksize, ff_scale, eps, table=False,
             dma.start()
             dmas.append(dma)
     if ring:
+        # one windowed DMA per slot·head: HBM rows [wp, wp + C) of the
+        # mirrored ring ARE the chronological cache (oldest first) —
+        # rows past C read the mirror copy. wp advances by c (a multiple
+        # of 8, gated in fused_chunk_layer), so the dynamic start row is
+        # provably sublane-aligned.
         for s in range(bs):
-            dma = pltpu.make_async_copy(ac_ref.at[g * bs + s],
-                                        ac_scr.at[s], ac_sem.at[s])
-            dma.start()
-            ac_dmas.append(dma)
+            wp0 = pl.multiple_of(wptr_ref[g * bs + s], 8)
+            per_slot = []
+            for h in range(n_head):
+                dma = pltpu.make_async_copy(
+                    ac_ref.at[g * bs + s, h, pl.ds(wp0, ac_scr.shape[2]), :],
+                    ac_scr.at[s, h], ac_sem.at[s, h])
+                dma.start()
+                per_slot.append(dma)
+            ac_dmas.append(per_slot)
     x = x_ref[...].reshape(M, D).astype(jnp.float32)
 
     def layer_norm(v, idx):
@@ -167,8 +180,8 @@ def _kernel(*refs, n_head, d_k, ksize, ff_scale, eps, table=False,
         else:
             ph_full = pp_ref[s].astype(jnp.float32)
         if ring:
-            ac_dmas[s].wait()
-            wp = wptr_ref[g * bs + s]
+            for d in ac_dmas[s]:
+                d.wait()
         # build the head-stacked Q/K/V directly in scratch via STORES —
         # Mosaic rejects concats whose operands sit at different LANE
         # offsets (head h's column slice starts at lane h·d_k; the cache
@@ -176,9 +189,10 @@ def _kernel(*refs, n_head, d_k, ksize, ff_scale, eps, table=False,
         for h in range(n_head):
             sl = slice(h * d_k, (h + 1) * d_k)
             if ring:
-                # ring rows → chronological: chron[i] = ring[(i+wp) % C]
-                # (row wp is the oldest; the mask below is unchanged)
-                chron = pltpu.roll(ac_scr[s, h], -wp, 0).astype(jnp.float32)
+                # the DMA already delivered chronological order (window
+                # [wp, wp + C) of the mirrored ring; row 0 = oldest —
+                # the mask below is unchanged)
+                chron = ac_scr[s, h].astype(jnp.float32)
                 cache_k, cache_v = chron[:, 0:d_k], chron[:, d_k:2 * d_k]
             else:
                 cache_k = ac_ref[s, h, :, 0:d_k].astype(jnp.float32)
@@ -221,9 +235,11 @@ def _kernel(*refs, n_head, d_k, ksize, ff_scale, eps, table=False,
             [o_stack[h * c:(h + 1) * c, :] for h in range(n_head)], axis=1))
         if ring:
             # stage the chunk's fresh K/V rows, then write ONLY them to
-            # the HBM ring at the slot's pointer (inactive slots skip the
-            # write: the aliased buffer cannot be un-written by the
-            # engine's XLA merge). n_sub sub-chunks go as separate
+            # the HBM ring at the slot's pointer — in BOTH mirror copies
+            # (rows dst and dst + C), keeping the read window
+            # [wp, wp + C) chronological for every wp. Inactive slots
+            # skip the write: the aliased buffer cannot be un-written by
+            # the engine's XLA merge. n_sub sub-chunks go as separate
             # contiguous sub_c-row DMAs so a tick never wraps mid-copy
             # (wptrs and sub_c are multiples of 8, C % sub_c == 0 —
             # gated in fused_chunk_layer).
@@ -237,12 +253,14 @@ def _kernel(*refs, n_head, d_k, ksize, ff_scale, eps, table=False,
                 wp0 = wptr_ref[g * bs + s]
                 for h in range(n_head):
                     for i in range(n_sub):
-                        dst = pl.multiple_of(
-                            jax.lax.rem(wp0 + i * sub_c, C), 8)
-                        pltpu.make_async_copy(
-                            nkv_scr.at[s, h, pl.ds(i * sub_c, sub_c), :],
-                            nac_ref.at[g * bs + s, h, pl.ds(dst, sub_c), :],
-                            w_sem.at[s, h, i]).start()
+                        for m in range(2):
+                            dst = pl.multiple_of(
+                                jax.lax.rem(wp0 + i * sub_c, C) + m * C, 8)
+                            pltpu.make_async_copy(
+                                nkv_scr.at[s, h, pl.ds(i * sub_c, sub_c), :],
+                                nac_ref.at[g * bs + s, h,
+                                           pl.ds(dst, sub_c), :],
+                                w_sem.at[s, h, i, m]).start()
         else:
             # rolled cache: drop the oldest c rows, append the chunk's kv
             # (built as a value — Mosaic rejects ref-to-ref copies whose
@@ -293,10 +311,11 @@ def _kernel(*refs, n_head, d_k, ksize, ff_scale, eps, table=False,
             def _():
                 for h in range(n_head):
                     for i in range(n_sub):
-                        pltpu.make_async_copy(
-                            nkv_scr.at[s, h, pl.ds(i * sub_c, sub_c), :],
-                            nac_ref.at[g * bs + s, h, pl.ds(0, sub_c), :],
-                            w_sem.at[s, h, i]).wait()
+                        for m in range(2):
+                            pltpu.make_async_copy(
+                                nkv_scr.at[s, h, pl.ds(i * sub_c, sub_c), :],
+                                nac_ref.at[g * bs + s, h, pl.ds(0, sub_c), :],
+                                w_sem.at[s, h, i, m]).wait()
 
 
 def _kernel_q8(*refs, n_head, d_k, ksize, ff_scale, eps, table=False,
@@ -534,11 +553,12 @@ def _vmem(c, C, D, F, n_head, dtype, bs, quant=False, table=False,
     weights = (4 * D * F + 7 * D * D + 2 * D * D) * s
     cache_s = 1 if quant else s
     if ring:
-        # single-buffered DMA scratch (read) + c-row staging (write) +
-        # the doubled roll temporary — no double-buffered in/out blocks
+        # single-buffered DMA scratch (read, chronological window) +
+        # c-row staging (write) — no double-buffered in/out blocks and
+        # no rotate temporary (the mirrored ring makes the DMA window
+        # itself chronological)
         caches = bs * n_head * C * 2 * (D // n_head) * cache_s \
-            + bs * n_head * c * 2 * (D // n_head) * cache_s \
-            + 2 * C * 2 * (D // n_head) * 4
+            + bs * n_head * c * 2 * (D // n_head) * cache_s
     else:
         caches = bs * n_head * C * 2 * (D // n_head) * cache_s * 2 * 2
     if quant:
@@ -628,14 +648,18 @@ def fused_chunk_layer(x, posp, att_cache, cnn_cache, cache_lens, params,
     per-grid-step DMA, which this amortizes n_sub×). Requires
     c ≤ C and n_sub | c.
     RING-BUFFER CACHE: pass wptrs (B,) int32 per-slot write pointers +
-    active (B,) bool/int32. att_cache is then a ring (row wp is the
-    oldest cached frame; the engine advances wp by c mod C after every
-    active tick) and the kernel writes ONLY the c fresh rows back to HBM
-    (the full-C rewrite — and its XLA transpose/stack/merge round-trips —
-    disappear). The returned new_att_cache ALIASES the input buffer;
-    callers must treat the input as consumed. Inactive slots' rings are
-    untouched. Requires sub_c = c/n_sub and wptrs multiples of 8,
-    C % sub_c == 0 and bs | B (no pad copies of the aliased buffer).
+    active (B,) bool/int32. att_cache is then a MIRRORED ring of shape
+    (B, h, 2·C, 2·d_k) — rows [C, 2·C) always duplicate rows [0, C), so
+    the chronological window [wp, wp + C) is one contiguous DMA (row wp
+    is the oldest cached frame; the engine advances wp by c mod C after
+    every active tick; Mosaic cannot lower the dynamic sublane rotate a
+    single-copy ring would need). The kernel writes ONLY the c fresh
+    rows back to HBM, once per mirror (the full-C rewrite — and its XLA
+    transpose/stack/merge round-trips — disappear). The returned
+    new_att_cache ALIASES the input buffer; callers must treat the input
+    as consumed. Inactive slots' rings are untouched. Requires
+    sub_c = c/n_sub and wptrs multiples of 8, C % sub_c == 0 and bs | B
+    (no pad copies of the aliased buffer).
     → (y (B, c, D), new_att_cache, new_cnn_cache)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -646,7 +670,11 @@ def fused_chunk_layer(x, posp, att_cache, cnn_cache, cache_lens, params,
                           preferred_element_type=jnp.float32
                           ).astype(posp.dtype)
     B, c, D = x.shape
-    C = att_cache.shape[2]
+    if ring:
+        assert att_cache.shape[2] % 2 == 0, att_cache.shape
+        C = att_cache.shape[2] // 2          # mirrored ring: 2·C rows
+    else:
+        C = att_cache.shape[2]
     F = params["ffw1"].shape[2]
     bs = block_b or pick_chunk_block_b(c, C, D, F, n_head, x.dtype,
                                        table=table, ring=ring)
@@ -689,9 +717,9 @@ def fused_chunk_layer(x, posp, att_cache, cnn_cache, cache_lens, params,
         nac_spec = pl.BlockSpec(memory_space=pl.ANY)
         extra_scratch += [
             pltpu.VMEM((bs, n_head, C, 2 * d_k), att_cache.dtype),
-            pltpu.SemaphoreType.DMA((bs,)),
+            pltpu.SemaphoreType.DMA((bs, n_head)),
             pltpu.VMEM((bs, n_head, c, 2 * d_k), att_cache.dtype),
-            pltpu.SemaphoreType.DMA((bs, n_head, n_sub)),
+            pltpu.SemaphoreType.DMA((bs, n_head, n_sub, 2)),
         ]
         # alias the ring buffer: positional operand index counts the
         # scalar-prefetch args; output 1 is new_att_cache

@@ -281,12 +281,16 @@ def _h1_bwd_kernel(lens_ref, seed_ref, x_ref, mask_ref, lnw_ref, w1_ref,
 
 
 def _ffn_bwd_tiled_masked(df, a, w1_ref, b1_ref, w2_ref, cdt, dmF,
-                          dw1_ref, db1_ref, dw2_ref):
-    """Column-tiled FFN backward with a pre-drawn hidden dropout mask."""
+                          dw1_ref, db1_ref, dw2_ref, tiles=FF_TILES):
+    """Column-tiled FFN backward with a pre-drawn hidden dropout mask.
+    `tiles` trades recompute-matmul count for peak VMEM (the Squeezeformer
+    half-ops run 8: their AdaptiveScale/post-norm staging leaves ~0.5 MB
+    less headroom than the Conformer halves and 4 tiles OOM'd the 16 MB
+    scoped-vmem stack on hardware at T=299)."""
     F = w1_ref.shape[1]
     da = jnp.zeros_like(a)
-    tile = F // FF_TILES
-    for t in range(FF_TILES):
+    tile = F // tiles
+    for t in range(tiles):
         cs = slice(t * tile, (t + 1) * tile)
         z_t = _mm(a, w1_ref[:, cs], cdt) + b1_ref[0:1, cs]
         h_t = _silu(z_t)

@@ -40,6 +40,12 @@ from masr_tpu.ops.pallas.conformer_layer_train import (
 
 __all__ = ["fused_squeezeformer_layer_train", "fused_sq_train_supported"]
 
+# hidden-column tiles in the SQ FFN backwards: 8 (vs the Conformer's 4)
+# — the AdaptiveScale/post-norm staging leaves ~0.5 MB less VMEM
+# headroom and 4 tiles overflowed the 16 MB scoped-vmem stack on
+# hardware at the production shape (T=299, D=256, F=2048)
+SQ_FF_TILES = 8
+
 
 def _ada(x, adaw_ref, idx):
     return x * adaw_ref[idx, 0:1, :] + adaw_ref[idx, 1:2, :]
@@ -177,7 +183,7 @@ def _h1_bwd_kernel(lens_ref, seed_ref, x_ref, mask_ref, lnw_ref, adaw_ref,
     # ---- FFN1 bwd (tiled) ----  s2 = x1 + drop(FFN1(ada1(x1)))
     df = ds2 if dmO is None else ds2 * dmO
     da1 = _ffn_bwd_tiled_masked(df, a1, w1_ref, b1_ref, w2_ref, cdt, dmF,
-                                dw1_ref, db1_ref, dw2_ref)
+                                dw1_ref, db1_ref, dw2_ref, tiles=SQ_FF_TILES)
     db2_ref[...] += jnp.sum(df, axis=0, keepdims=True)
     dadaw_ref[1, 0:1, :] += jnp.sum(da1 * x1, axis=0, keepdims=True)
     dadaw_ref[1, 1:2, :] += jnp.sum(da1, axis=0, keepdims=True)
@@ -358,7 +364,7 @@ def _h2_bwd_kernel(lens_ref, seed_ref, x_ref, lnw_ref, adaw_ref, pw1w_ref,
     # ---- FFN2 bwd (tiled) ----
     df = ds4 if dmO is None else ds4 * dmO
     da3 = _ffn_bwd_tiled_masked(df, a3, w1_ref, b1_ref, w2_ref, cdt, dmF,
-                                dw1_ref, db1_ref, dw2_ref)
+                                dw1_ref, db1_ref, dw2_ref, tiles=SQ_FF_TILES)
     db2_ref[...] += jnp.sum(df, axis=0, keepdims=True)
     dadaw_ref[1, 0:1, :] += jnp.sum(da3 * x3, axis=0, keepdims=True)
     dadaw_ref[1, 1:2, :] += jnp.sum(da3, axis=0, keepdims=True)
@@ -585,12 +591,18 @@ _sq_half2.defvjp(_sq_half2_fwd, _sq_half2_bwd)
 
 
 def fused_sq_train_supported(T, D, F, dtype=jnp.bfloat16):
-    """VMEM estimate for the half-op backward peaks (same accounting as
-    the Conformer train kernel; the SQ halves carry the extra adaw rows,
-    negligible)."""
+    """VMEM estimate for the half-op backward peaks. Same accounting as
+    the Conformer train kernel, plus the SQ halves' extra staging (the
+    AdaptiveScale pre-activations and post-norm saved residuals — ~3
+    extra (T, D) f32 live values measured against the hardware OOM at
+    T=299, D=256, F=2048 with 4 FFN tiles); the FFN backwards here run
+    SQ_FF_TILES=8 column tiles, halving that tile term."""
     from masr_tpu.ops.pallas.conformer_layer_train import (
-        fused_train_supported)
-    return fused_train_supported(T, D, F, dtype)
+        FF_TILES, fused_train_supported)
+    sq_extra = T * D * 4 * 3 \
+        - T * (F // FF_TILES - F // SQ_FF_TILES) * 4 * 3
+    return fused_train_supported(T, D, F, dtype) \
+        and sq_extra < int(0.8 * 1024 * 1024)
 
 
 def fused_squeezeformer_layer_train(x, mask, seeds, lens, params, n_head,

@@ -36,8 +36,8 @@ def _run_pair(T, actives, n_sub=1):
     ref_cache = jnp.zeros((nslots, H, C, 2 * d_k), jnp.float32)
     ref_cc = cc_z
     ref_clens = jnp.zeros((nslots,), jnp.int32)
-    # ring route
-    ring_cache = jnp.zeros((nslots, H, C, 2 * d_k), jnp.float32)
+    # ring route (mirrored layout: 2·C rows, halves duplicate)
+    ring_cache = jnp.zeros((nslots, H, 2 * C, 2 * d_k), jnp.float32)
     ring_cc = cc_z
     ring_clens = jnp.zeros((nslots,), jnp.int32)
     wptr = jnp.zeros((nslots,), jnp.int32)
@@ -101,6 +101,33 @@ def test_ring_multi_chunk_tick(n_sub):
     _check(*_run_pair(T, actives, n_sub=n_sub))
 
 
+def test_ring_mirror_invariant_after_wraparound():
+    """The mirrored layout's contract: rows [C, 2·C) always duplicate
+    rows [0, C) (the kernel writes every fresh block to both copies), so
+    the chronological read window [wp, wp + C) is exact for every wp."""
+    rs = np.random.RandomState(3)
+    p = _params(rs)
+    nslots = B
+    cache = jnp.zeros((nslots, H, 2 * C, 2 * d_k), jnp.float32)
+    cc = jnp.zeros((nslots, KS - 1, D), jnp.float32)
+    clens = jnp.zeros((nslots,), jnp.int32)
+    wptr = jnp.zeros((nslots,), jnp.int32)
+    act = jnp.ones((nslots,), bool)
+    for t in range(C // c + 3):              # fill + wrap
+        x = jnp.asarray(rs.standard_normal((nslots, c, D)) * 0.3,
+                        jnp.float32)
+        posp = _posp(rs)
+        _, cache, cc = fused_chunk_layer(
+            x, posp, cache, cc, clens, p, wptrs=wptr, active=act,
+            n_head=H, ksize=KS, interpret=True)
+        clens = jnp.minimum(clens + c, C)
+        wptr = (wptr + c) % C
+        np.testing.assert_array_equal(np.asarray(cache[:, :, C:]),
+                                      np.asarray(cache[:, :, :C]),
+                                      err_msg=f"tick {t}")
+    assert np.abs(np.asarray(cache)).max() > 0   # writes actually landed
+
+
 def test_ring_block_shrinks_to_divisor():
     """B=3 slots: the ring path must shrink the slot block to a divisor
     of B instead of padding (padding would copy the aliased buffer)."""
@@ -110,10 +137,12 @@ def test_ring_block_shrinks_to_divisor():
     x = jnp.asarray(rs.standard_normal((n, c, D)) * 0.3, jnp.float32)
     posp = jnp.asarray(rs.standard_normal((n, L, D)) * 0.3, jnp.float32)
     cache = jnp.zeros((n, H, C, 2 * d_k), jnp.float32)
+    ring_cache = jnp.zeros((n, H, 2 * C, 2 * d_k), jnp.float32)
     cc = jnp.zeros((n, KS - 1, D), jnp.float32)
     clens = jnp.zeros((n,), jnp.int32)
     y, na, nc = fused_chunk_layer(
-        x, posp, cache, cc, clens, p, wptrs=jnp.zeros((n,), jnp.int32),
+        x, posp, ring_cache, cc, clens, p,
+        wptrs=jnp.zeros((n,), jnp.int32),
         active=jnp.ones((n,), bool), n_head=H, ksize=KS, interpret=True)
     y0, na0, nc0 = fused_chunk_layer(x, posp, cache, cc, clens, p,
                                      n_head=H, ksize=KS, interpret=True)
