@@ -622,9 +622,14 @@ class ConformerEncoder(nn.Module):
         C = cache_size if cache_size is not None else chunk_size * num_left_chunks
         if ring:
             assert not kv_int8, "ring caches are bf16-only"
+            # lane dim padded to the 128 tiling: Mosaic only lowers the
+            # ring's windowed DMA slices at 128-multiple lane widths
+            # (small models would otherwise lose the route; the pad rows
+            # are dead bytes the kernel never reads)
+            rp = -(-2 * self.d_k // 128) * 128
             att = tuple(
-                jnp.zeros((batch, self.attention_heads, 2 * C,
-                           2 * self.d_k), self.dtype)
+                jnp.zeros((batch, self.attention_heads, 2 * C, rp),
+                          self.dtype)
                 for _ in range(self.num_blocks))
             cnn = jnp.zeros((self.num_blocks, batch, max(self.lorder, 1),
                              self.output_size), self.dtype)

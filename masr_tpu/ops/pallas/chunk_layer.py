@@ -176,7 +176,8 @@ def _kernel(*refs, n_head, d_k, ksize, ff_scale, eps, table=False,
         # cost: 12 layers × B small serialized matmuls per tick)
         if table:
             dmas[s].wait()
-            ph_full = pp_scr[s].astype(jnp.float32)
+            # scratch lane dim may be padded to the 128 tiling
+            ph_full = pp_scr[s][:, 0:D].astype(jnp.float32)
         else:
             ph_full = pp_ref[s].astype(jnp.float32)
         if ring:
@@ -245,8 +246,12 @@ def _kernel(*refs, n_head, d_k, ksize, ff_scale, eps, table=False,
             # gated in fused_chunk_layer).
             for h in range(n_head):
                 sl = slice(h * d_k, (h + 1) * d_k)
+                pieces = [k[rows, sl], v[rows, sl]]
+                if nkv_scr.shape[3] > 2 * d_k:   # lane pad to the 128 tiling
+                    pieces.append(jnp.zeros(
+                        (c, nkv_scr.shape[3] - 2 * d_k), jnp.float32))
                 nkv_scr[s, h] = jnp.concatenate(
-                    [k[rows, sl], v[rows, sl]], axis=1).astype(nkv_scr.dtype)
+                    pieces, axis=1).astype(nkv_scr.dtype)
             sub_c = c // n_sub
             @pl.when(act_ref[g * bs + s] != 0)
             def _():
@@ -412,7 +417,8 @@ def _kernel_q8(*refs, n_head, d_k, ksize, ff_scale, eps, table=False,
         valid = clen_ref[g * bs + s]
         if table:
             dmas[s].wait()
-            ph_full = pp_scr[s].astype(jnp.float32)
+            # scratch lane dim may be padded to the 128 tiling
+            ph_full = pp_scr[s][:, 0:D].astype(jnp.float32)
         else:
             ph_full = pp_ref[s].astype(jnp.float32)
         # (2h, C) lane-layout scales → (C, 2h) sublane columns
@@ -556,16 +562,18 @@ def _vmem(c, C, D, F, n_head, dtype, bs, quant=False, table=False,
         # single-buffered DMA scratch (read, chronological window) +
         # c-row staging (write) — no double-buffered in/out blocks and
         # no rotate temporary (the mirrored ring makes the DMA window
-        # itself chronological)
-        caches = bs * n_head * C * 2 * (D // n_head) * cache_s \
-            + bs * n_head * c * 2 * (D // n_head) * cache_s
+        # itself chronological); lane dim padded to the 128 tiling
+        rp = -(-2 * (D // n_head) // 128) * 128
+        caches = bs * n_head * C * rp * cache_s \
+            + bs * n_head * c * rp * cache_s
     else:
         caches = bs * n_head * C * 2 * (D // n_head) * cache_s * 2 * 2
     if quant:
         caches += bs * 2 * n_head * C * 4 * 2 * 2         # f32 scales
     # posp: double-buffered input block, or single-buffered DMA scratch
     # when positions come from the HBM table
-    pe = bs * L * D * s * (1 if table else 2)
+    pe = bs * L * (-(-D // 128) * 128 if table else D) * s \
+        * (1 if table else 2)
     att = n_head * c * n_head * L * 4 * 3     # stacked scores/attn + mask
     act = 8 * bs * c * D * 4 + bs * c * F * 4 * 2
     return weights + caches + pe + att + act
@@ -593,8 +601,16 @@ def make_chunk_pos_table(wpos, C, table_len=8192, dtype=jnp.bfloat16):
     from masr_tpu.models.embedding import sinusoid_position_encoding
     positions = jnp.maximum(jnp.arange(table_len) - C, 0)
     pe = sinusoid_position_encoding(positions, wpos.shape[0], dtype)
-    return jnp.einsum("ld,de->le", pe.astype(wpos.dtype), wpos,
-                      preferred_element_type=jnp.float32).astype(dtype)
+    tab = jnp.einsum("ld,de->le", pe.astype(wpos.dtype), wpos,
+                     preferred_element_type=jnp.float32).astype(dtype)
+    # lane dim padded to the 128 tiling: Mosaic only lowers the
+    # in-kernel table DMA at 128-multiple slice lane widths (the kernel
+    # reads columns [0, D) of the scratch and ignores the pad)
+    D = tab.shape[1]
+    pad = -(-D // 128) * 128 - D
+    if pad:
+        tab = jnp.pad(tab, ((0, 0), (0, pad)))
+    return tab
 
 
 def clamp_pos_starts(offsets, table_len, L):
@@ -710,15 +726,17 @@ def fused_chunk_layer(x, posp, att_cache, cnn_cache, cache_lens, params,
             wptrs.astype(jnp.int32), active.astype(jnp.int32))
         if ring else ())
     pos_args = (pos_table,) if table else (posp,)
-    extra_scratch = [pltpu.VMEM((bs, L, D), pos_table.dtype),
+    extra_scratch = [pltpu.VMEM((bs, L, pos_table.shape[1]),
+                                pos_table.dtype),
                      pltpu.SemaphoreType.DMA((bs,))] if table else []
     if ring:
         ac_spec = pl.BlockSpec(memory_space=pl.ANY)
         nac_spec = pl.BlockSpec(memory_space=pl.ANY)
+        rp = att_cache.shape[3]          # lane dim, padded to 128 tiling
         extra_scratch += [
-            pltpu.VMEM((bs, n_head, C, 2 * d_k), att_cache.dtype),
+            pltpu.VMEM((bs, n_head, C, rp), att_cache.dtype),
             pltpu.SemaphoreType.DMA((bs, n_head)),
-            pltpu.VMEM((bs, n_head, c, 2 * d_k), att_cache.dtype),
+            pltpu.VMEM((bs, n_head, c, rp), att_cache.dtype),
             pltpu.SemaphoreType.DMA((bs, n_head, n_sub, 2)),
         ]
         # alias the ring buffer: positional operand index counts the
@@ -826,7 +844,8 @@ def fused_chunk_layer_q8(x, posp, att_cache, att_scale, cnn_cache,
     scalars = (cache_lens.astype(jnp.int32),) + (
         (starts.astype(jnp.int32),) if table else ())
     pos_args = (pos_table,) if table else (posp,)
-    extra_scratch = [pltpu.VMEM((bs, L, D), pos_table.dtype),
+    extra_scratch = [pltpu.VMEM((bs, L, pos_table.shape[1]),
+                                pos_table.dtype),
                      pltpu.SemaphoreType.DMA((bs,))] if table else []
     assert c <= C and c % n_sub == 0, (c, C, n_sub)
     y, nac, nsc, ncc = pl.pallas_call(

@@ -32,13 +32,16 @@ def test_pos_table_rows_match_einsum_route():
     rs = np.random.RandomState(1)
     wpos = jnp.asarray(rs.standard_normal((D, D)) * 0.1, jnp.float32)
     tab = make_chunk_pos_table(wpos, C, TAB, jnp.float32)
-    assert tab.shape == (TAB, D)
+    # lane dim is padded to the 128 tiling for the in-kernel DMA; the
+    # pad columns must be zero and the logical columns exact
+    assert tab.shape == (TAB, -(-D // 128) * 128)
+    assert not np.any(np.asarray(tab[:, D:]))
     for off in (0, 5, C, 200):
         positions = jnp.maximum(off - C + jnp.arange(L), 0)
         pe = sinusoid_position_encoding(positions, D, jnp.float32)
         posp = jnp.einsum("ld,de->le", pe, wpos,
                           preferred_element_type=jnp.float32)
-        window = tab[off:off + L]
+        window = tab[off:off + L, :D]
         np.testing.assert_allclose(np.asarray(window), np.asarray(posp),
                                    rtol=1e-6, atol=1e-6)
 
@@ -52,8 +55,9 @@ def test_table_kernel_matches_posp_kernel(quant):
     tab = make_chunk_pos_table(wpos, C, TAB, jnp.float32)
     offsets = jnp.asarray([0, 16, 200, 64], jnp.int32)
     starts = clamp_pos_starts(offsets, TAB, L)
-    # the exact same rows, fed through the posp input path
-    posp = jnp.stack([tab[int(o):int(o) + L] for o in starts])
+    # the exact same rows (minus the DMA lane pad), fed through the
+    # posp input path
+    posp = jnp.stack([tab[int(o):int(o) + L, :D] for o in starts])
 
     if quant:
         q, s = quantize_kv_cache(cache)
