@@ -93,8 +93,9 @@ def bench_stream_scan(model, variables, batch, K, fused=False,
     chunk step (ops/pallas/chunk_layer.py) — the path the batched
     serving engine routes on TPU; it additionally supports per-slot
     offsets/validity (batch_stream.py). kv_int8=True benches the
-    per-row-quantized attention cache (fused_chunk_layer_q8 — halves
-    the cache DMA that bounds the tick, docs/streaming_roofline.md).
+    per-row-quantized attention cache (fused_chunk_layer_q8 — measured
+    non-lever on a single chip vs the bf16 ring default; kept for the
+    multi-device roll path, docs/streaming_roofline.md round-4 table).
     tick_k>1 benches MULTI-CHUNK ticks (k buffered windows per slot per
     dispatch, block-causal sub-chunk mask — engine tick_chunks knob):
     each step then covers k× the audio. ring=True benches the
@@ -479,8 +480,11 @@ def main():
                     f"{serving[B]['roll_rtf']:.0f}x realtime/chip")
             except Exception as e:
                 log(f"roll ablation B={B} failed: {e}")
-    # int8 KV caches (engine kv_cache='int8'): half the cache DMA that
-    # bounds the tick (docs/streaming_roofline.md)
+    # int8 KV caches (engine kv_cache='int8'): measured NON-lever on a
+    # single chip — the bf16 ring default beats every int8 config (the
+    # quant math is ~free but int8 has no ring kernel); kept as the
+    # density knob for the multi-device roll path and benched here for
+    # the record (docs/streaming_roofline.md round-4 table)
     serving_q8 = {}
     if use_fused_chunk:
         for B in (32, 128):

@@ -34,9 +34,10 @@ class BatchStreamSession(object):
         or 'ctc_beam_search_device' (ALL slots' prefix beam search inside
         the tick program, incl. optional dense-bigram LM fusion).
         kv_cache: 'bf16' (exact) or 'int8' (per-row-quantized attention
-        caches — ~half the cache DMA that bounds the tick, bigger slot
-        blocks; needs the fused chunk path, falls back to bf16 without
-        it. docs/streaming_roofline.md).
+        caches; needs the fused chunk path, falls back to bf16 without
+        it). int8 is the MULTI-DEVICE path's density knob — on a single
+        chip the bf16 ring default measures faster than every int8
+        config (docs/streaming_roofline.md round-4 table).
         tick_chunks=k>1: MULTI-CHUNK TICKS — when a slot has k full
         windows buffered, they run in ONE dispatch with a block-causal
         sub-chunk mask (bit-equivalent to k single ticks, bf16), paying

@@ -426,8 +426,9 @@ class ConformerEncoder(nn.Module):
         att_cache: (L, N, h, C, 2·d_k); cnn_cache: (L, N, lorder, D).
         att_scale (optional): (L, N, 2·h, C) f32 — when given, att_cache
         is int8 with per-row scales and the tick runs the quantized
-        kernel (fused_chunk_layer_q8: half the cache DMA, bigger slot
-        blocks — docs/streaming_roofline.md).
+        kernel (fused_chunk_layer_q8 — the multi-device serving path's
+        density knob; on a single chip the bf16 ring route measures
+        faster, docs/streaming_roofline.md round-4 table).
         wptrs + active (optional): RING-BUFFER att caches — att_cache is
         then a TUPLE of L per-layer (N, h, 2·C, 2·d_k) MIRRORED ring
         arrays (rows [C, 2·C) duplicate rows [0, C); row

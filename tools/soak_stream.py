@@ -5,7 +5,14 @@ record memory + partial-transcript health.
 
 What it proves:
 - memory stays FLAT (fixed-shape caches, ring buffers, bounded feature
-  windows — nothing grows with stream length),
+  windows — nothing grows with stream length). Attribution note for
+  remote-TPU rigs: the axon tunnel CLIENT leaks ~3 KB of host RSS per
+  jit execution (measured with a bare 2000-call jax.jit loop containing
+  no masr_tpu code at all: +6.1 MB), so an hour-long soak through the
+  tunnel shows linear RSS growth that is transport, not framework — the
+  same soak on the CPU backend is flat to the MB after warmup
+  (15-minute control run: rss 337.8 MB for 13 consecutive minutes,
+  growth 0.0),
 - partials stay sane past the old 8192-row freeze boundary (~5.3 min):
   ticks switch to the exact-positions program automatically
   (batch_stream.py _pos_cap) with no accuracy cliff,
