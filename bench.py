@@ -460,6 +460,12 @@ def main():
                 break
             except Exception as e:
                 log(f"serving B={B} {attempt} failed: {e}")
+        if route != "vmapped" and chunk_flops:
+            # in-Pallas FLOPs are invisible to XLA's cost analysis (the
+            # r3 "MFU 0.0002" artifact) — price fused routes at B × the
+            # XLA-counted single-stream chunk step (same chunk/cache
+            # shapes), the same XLA-route pricing the family rows use
+            flops = chunk_flops * B
         streams_rtf = B * AUDIO_PER_CHUNK / per_step
         serving[B] = dict(ms=per_step * 1e3,
                           rtf=streams_rtf,

@@ -188,6 +188,26 @@ def test_convert_lm_filter_and_validate(tmp_path, arpa_path):
     assert r2.returncode == 0 and "order 2" in r2.stdout
 
 
+def test_convert_lm_to_trie(tmp_path, arpa_path):
+    """--to-trie writes a TRIE .klm the in-repo reader scores == ARPA."""
+    out = tmp_path / "lm_trie.klm"
+    tool = os.path.join(os.path.dirname(__file__), "..", "tools",
+                        "convert_lm.py")
+    r = subprocess.run([sys.executable, tool, "--to-trie", arpa_path,
+                        "--output", str(out)],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    assert "wrote trie binary" in r.stdout
+    from masr_tpu.decoders.klm_trie import TrieModel
+    lm = ArpaLM(arpa_path)
+    m = TrieModel(str(out))
+    for sent in ("你 好", "好 你", "你 你 好"):
+        words = sent.split()
+        want = sum(lm.log10_cond(words[max(0, i - lm.order + 1):i], w)
+                   for i, w in enumerate(words))
+        assert abs(m.score(sent, bos=False, eos=False) - want) < 1e-4
+
+
 def test_convert_lm_inspect(tmp_path, klm_path):
     tool = os.path.join(os.path.dirname(__file__), "..", "tools",
                         "convert_lm.py")

@@ -2,10 +2,11 @@
 
 The reference decodes with KenLM binaries (.klm, auto-downloaded 2.8 GB zh
 model, masr/decoders/beam_search_decoder.py:19-29). This framework's
-native C++ decoder reads ARPA text; PROBING-format KenLM binaries also
-score directly at runtime through the in-repo reader
-(masr_tpu/decoders/klm_probing.py; the `kenlm` pip package is preferred
-automatically when installed — masr_tpu/decoders/scorer.py KenlmScorer).
+native C++ decoder reads ARPA text; BOTH KenLM binary formats (probing
+hash and reversed-suffix trie) also score directly at runtime through the
+in-repo readers (masr_tpu/decoders/klm_probing.py / klm_trie.py,
+dispatched by the header's model_type; the `kenlm` pip package is
+preferred automatically when installed — decoders/scorer.py KenlmScorer).
 This tool covers the offline part of the migration:
 
   --inspect model.klm     Identify a KenLM binary (magic header) and print
@@ -53,9 +54,9 @@ def inspect(path):
     print("""
 Migration options (in order of preference):
  1. Runtime use, no conversion: keep `language_model_path` pointing at
-    this .klm — PROBING-format binaries (KenLM's default) score through
-    the in-repo reader (masr_tpu/decoders/klm_probing.py), or through
-    the `kenlm` package if installed (covers TRIE format too).
+    this .klm — both PROBING (KenLM's default) and TRIE binaries score
+    through the in-repo readers (masr_tpu/decoders/klm_probing.py /
+    klm_trie.py), or through the `kenlm` package if installed.
  2. Use the ARPA mirror: the standard MASR/PaddleSpeech LMs are published
     in both forms (e.g. zh_giga.no_cna_cmn.prune01244.arpa.gz); filter it
     to your vocabulary with this tool, then the native C++ decoder reads
@@ -137,6 +138,10 @@ def main():
     ap.add_argument("--to-probing", dest="to_probing",
                     help="input ARPA(.gz) to export as a PROBING-format "
                          ".klm (scored by the in-repo reader or kenlm)")
+    ap.add_argument("--to-trie", dest="to_trie",
+                    help="input ARPA(.gz) to export as a TRIE-format "
+                         ".klm (smaller; scored by the in-repo reader "
+                         "or kenlm)")
     args = ap.parse_args()
     if args.inspect:
         return inspect(args.inspect)
@@ -150,6 +155,14 @@ def main():
         from masr_tpu.decoders.klm_probing import write_probing
         vocab = write_probing(args.to_probing, args.output)
         print(f"wrote probing binary {args.output}: {len(vocab)} words, "
+              f"{os.path.getsize(args.output) / 1e6:.1f} MB")
+        return 0
+    if args.to_trie:
+        if not args.output:
+            ap.error("--to-trie requires --output")
+        from masr_tpu.decoders.klm_trie import write_trie
+        vocab = write_trie(args.to_trie, args.output)
+        print(f"wrote trie binary {args.output}: {len(vocab)} words, "
               f"{os.path.getsize(args.output) / 1e6:.1f} MB")
         return 0
     if args.validate:
