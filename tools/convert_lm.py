@@ -137,11 +137,15 @@ def main():
     ap.add_argument("--validate", help="ARPA file to parse-check")
     ap.add_argument("--to-probing", dest="to_probing",
                     help="input ARPA(.gz) to export as a PROBING-format "
-                         ".klm (scored by the in-repo reader or kenlm)")
+                         ".klm (scored by the in-repo reader; written to "
+                         "kenlm's documented layout but byte-compat with "
+                         "the kenlm library is unverified here — "
+                         "docs/design_deviations.md #6)")
     ap.add_argument("--to-trie", dest="to_trie",
                     help="input ARPA(.gz) to export as a TRIE-format "
-                         ".klm (smaller; scored by the in-repo reader "
-                         "or kenlm)")
+                         ".klm (smaller; scored by the in-repo reader; "
+                         "kenlm byte-compat unverified here — "
+                         "docs/design_deviations.md #6)")
     args = ap.parse_args()
     if args.inspect:
         return inspect(args.inspect)
