@@ -17,14 +17,46 @@ Baseline: the reference's streaming demo logs ~19–163 ms per 0.5 s chunk
 on the author's GPU (docs/infer.md:134-150, BASELINE.md) — midpoint 91 ms
 ⇒ RTF ≈ 5.5×. `vs_baseline` is our_RTF / 5.5.
 
-Prints ONE JSON line (first stdout line) with the headline metric plus
-the auxiliary fields; human-readable detail goes to stderr.
+Prints ONE JSON line (the only stdout line) with the headline metric
+plus the auxiliary fields; human-readable detail goes to stderr.
+
+Driver-window hardening (VERDICT r4 item 1 — BENCH_r04 died at rc=124
+with no JSON): every metric is written into the summary dict AS IT IS
+MEASURED and the JSON line is emitted from an atexit handler plus a
+SIGTERM handler (`timeout` sends SIGTERM), so a partial run still
+yields a parsed artifact (`"partial": true`). The default row set is
+the headline one (single-stream, ring serving B=32/128, exact-positions
+tick, train B=16/32, per-family B=32, e2e, device beam, predict_long);
+the ablation rows (roll-cache, int8, multi-chunk k=4, flash-attention
+variant, squeezeformer train A/B) run only under `--full`.
 """
+import argparse
+import atexit
 import json
+import os
+import signal
 import sys
 import time
 
 import numpy as np
+
+SUMMARY = {"metric": "streaming_conformer_rtf", "value": None,
+           "unit": "x_realtime_per_chip", "vs_baseline": None,
+           "partial": True}
+_EMITTED = False
+
+
+def emit_summary():
+    global _EMITTED
+    if not _EMITTED:
+        _EMITTED = True
+        print(json.dumps(SUMMARY), flush=True)
+
+
+def _sigterm(_signum, _frame):
+    log("SIGTERM — emitting partial summary")
+    emit_summary()
+    os._exit(0)
 
 FEAT, VOCAB_SIZE = 80, 4000
 ENC = dict(output_size=256, attention_heads=4, linear_units=2048,
@@ -87,7 +119,7 @@ def init_vars(model):
 
 def bench_stream_scan(model, variables, batch, K, fused=False,
                       kv_int8=False, pos_tables=True, tick_k=1,
-                      ring=False):
+                      ring=False, exact=False):
     """Scanned chunk stream: K distinct steps in one dispatch →
     (per_step_s, flops_per_step). fused=True uses the batched fused
     chunk step (ops/pallas/chunk_layer.py) — the path the batched
@@ -100,7 +132,11 @@ def bench_stream_scan(model, variables, batch, K, fused=False,
     dispatch, block-causal sub-chunk mask — engine tick_chunks knob):
     each step then covers k× the audio. ring=True benches the
     RING-buffer cache route (write only the fresh rows; the engine's
-    default wherever eligible — docs/streaming_roofline.md r4 lever)."""
+    default wherever eligible — docs/streaming_roofline.md r4 lever).
+    exact=True runs the EXACT-POSITIONS program (per-tick sinusoid +
+    einsum instead of the in-kernel position-table DMA — the route
+    slots switch to past the table horizon; this row prices that
+    cliff, VERDICT r4 item 4)."""
     import jax
     import jax.numpy as jnp
     cache_size = CHUNK * 16
@@ -138,8 +174,8 @@ def bench_stream_scan(model, variables, batch, K, fused=False,
     def stream(variables, xs, state):
         def body(st, x):
             if fused:
-                probs, st = model.apply(variables, x, st, packed,
-                                        method=method)
+                probs, st = model.apply(variables, x, st, packed, None,
+                                        exact, method=method)
             else:
                 probs, st = model.apply(variables, x, st, method=method)
             return st, jnp.sum(probs.astype(jnp.float32))
@@ -401,37 +437,101 @@ def mfu(flops, secs, peak):
     return round(flops / secs / peak, 4)
 
 
+def make_long_audio(minutes=2.0, sr=16000, seg_s=6.0, gap_s=0.5):
+    """Synthetic long-form audio the silero VAD segments: alternating
+    modulated-tone 'speech' spans and near-silence gaps."""
+    rs = np.random.RandomState(11)
+    total = int(minutes * 60 * sr)
+    pieces = []
+    n = 0
+    while n < total:
+        gap = (rs.standard_normal(int(gap_s * sr)) * 0.001).astype(
+            np.float32)
+        t = np.arange(int(seg_s * sr)) / sr
+        f0 = 180 + 80 * rs.rand()
+        speech = ((np.sin(2 * np.pi * f0 * t)
+                   + np.sin(2 * np.pi * 2 * f0 * t)) * 0.3
+                  * (0.6 + 0.4 * np.sin(2 * np.pi * 3 * t))
+                  + rs.standard_normal(t.shape[0]) * 0.01)
+        pieces += [gap, speech.astype(np.float32)]
+        n += gap.shape[0] + speech.shape[0]
+    return np.concatenate(pieces)[:total]
+
+
+def bench_predict_long(tmpdir, minutes=2.0):
+    """predict_long end to end on the chip: silero VAD segmentation
+    (host) → duration-grouped batched full-context encode → greedy
+    decode (VERDICT r4 item 7 — the bulk-transcription path the
+    reference quotes eval wall-clock for, /root/reference/docs/eval.md).
+    → (wall_s, audio_s, n_segments)."""
+    import jax
+    from masr_tpu.infer.bundle import save_inference_bundle
+    from masr_tpu.infer.predictor import MASRPredictor
+    model = build("f32")
+    variables = init_vars(model)
+    vocab = ["<blank>", "<unk>"] + [f"t{i}" for i in range(VOCAB_SIZE - 3)] \
+        + ["<eos>"]
+    save_inference_bundle(
+        tmpdir, "conformer", True, FEAT, vocab, np.zeros(FEAT),
+        np.ones(FEAT), ENC, DEC, dict(ctc_weight=0.3),
+        {"feature_method": "fbank", "n_mels": FEAT,
+         "use_dB_normalization": False}, jax.device_get(variables))
+    p = MASRPredictor(tmpdir, decoder="ctc_greedy", warmup=False)
+    wav = make_long_audio(minutes=minutes)
+    audio_s = wav.shape[0] / 16000.0
+    # prime: a short slice compiles the batched-encode programs
+    p.predict_long(make_long_audio(minutes=0.35))
+    t0 = time.perf_counter()
+    r = p.predict_long(wav)
+    wall = time.perf_counter() - t0
+    assert isinstance(r["text"], str)
+    n_seg = len(p._vad.get_speech_timestamps(wav, 16000))
+    return wall, audio_s, n_seg
+
+
 def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--full", action="store_true",
+                    help="also run the ablation rows (roll-cache, int8, "
+                         "multi-chunk k=4, flash attention, SQ train A/B)")
+    ap.add_argument("--minutes", type=float, default=2.0,
+                    help="predict_long synthetic audio length")
+    args = ap.parse_args()
+    signal.signal(signal.SIGTERM, _sigterm)
+    atexit.register(emit_summary)
+    t_start = time.time()
+
     import tempfile
 
     import masr_tpu
     masr_tpu.enable_compilation_cache()
     import jax
+    import jax.numpy as jnp
     dev = jax.devices()[0]
     peak = chip_peak_flops(dev)
+    SUMMARY["device"] = dev.device_kind
     log(f"device: {dev.device_kind}; bf16 peak: "
-        f"{peak / 1e12 if peak else float('nan'):.0f} TFLOPS")
+        f"{peak / 1e12 if peak else float('nan'):.0f} TFLOPS"
+        f"{' (+ablation rows: --full)' if args.full else ''}")
 
-    # (headline) single-stream streaming RTF, f32 — metric continuity r1
+    def sect(name):
+        log(f"[{time.time() - t_start:.0f}s] === {name}")
+
+    # ---- headline: single-stream streaming RTF, f32 (metric r1) ---- #
+    sect("single-stream")
     model_f32 = build("f32")
     vars_f32 = init_vars(model_f32)
     per_chunk, chunk_flops = bench_stream_scan(model_f32, vars_f32,
                                                batch=1, K=500)
     rtf = AUDIO_PER_CHUNK / per_chunk
+    baseline_rtf = 5.5  # reference GPU streaming demo midpoint (BASELINE.md)
+    SUMMARY["value"] = round(rtf, 2)
+    SUMMARY["vs_baseline"] = round(rtf / baseline_rtf, 3)
     log(f"single-stream chunk step: {per_chunk * 1e3:.2f} ms "
         f"({rtf:.0f}x realtime, f32)")
 
-    # e2e predict_stream (fused frontend + decode, f32)
-    with tempfile.TemporaryDirectory() as td:
-        p50_e2e, p90_e2e = bench_e2e_stream(td)
-    log(f"e2e predict_stream per 0.64 s chunk: p50 {p50_e2e:.1f} ms, "
-        f"p90 {p90_e2e:.1f} ms (pcm→text incl. fused fbank + greedy; "
-        f"includes per-call dispatch transport — ~40 ms RTT through this "
-        f"box's remote-TPU tunnel, sub-ms on a local chip)")
-
-    # batched streaming serving, bf16 — the fused batched chunk step (the
-    # path the serving engine routes on TPU); K deep enough to amortize
-    # the ~40 ms dispatch RTT
+    # ---- batched streaming serving (the engine's fused chunk step) -- #
+    sect("batched serving")
     model_bf16 = build("bf16")
     vars_bf16 = init_vars(model_bf16)
     use_fused_chunk = False
@@ -460,6 +560,9 @@ def main():
                 break
             except Exception as e:
                 log(f"serving B={B} {attempt} failed: {e}")
+        if per_step is None:
+            log(f"serving B={B}: every route failed — skipping")
+            continue
         if route != "vmapped" and chunk_flops:
             # in-Pallas FLOPs are invisible to XLA's cost analysis (the
             # r3 "MFU 0.0002" artifact) — price fused routes at B × the
@@ -467,32 +570,50 @@ def main():
             # shapes), the same XLA-route pricing the family rows use
             flops = chunk_flops * B
         streams_rtf = B * AUDIO_PER_CHUNK / per_step
-        serving[B] = dict(ms=per_step * 1e3,
-                          rtf=streams_rtf,
+        serving[B] = dict(ms=per_step * 1e3, rtf=streams_rtf,
                           mfu=mfu(flops, per_step, peak), route=route)
+        SUMMARY[f"serving_b{B}_rtf"] = round(streams_rtf, 1)
+        SUMMARY[f"serving_b{B}_mfu"] = serving[B]["mfu"]
+        SUMMARY.setdefault("serving_route", route)
         log(f"batched streaming B={B} (bf16, {route} chunk step): "
             f"{per_step * 1e3:.2f} ms/step, "
             f"{streams_rtf:.0f}x realtime/chip, MFU {serving[B]['mfu']}")
-        if route == "ring":
+        # exact-positions program: the route ticks switch to past the
+        # position-table horizon (per-tick sinusoid+einsum) — pricing
+        # the horizon cliff (VERDICT r4 item 4)
+        if route in ("ring", "fused"):
+            try:
+                pse, _ = bench_stream_scan(
+                    model_bf16, vars_bf16, batch=B, K=200, fused=True,
+                    pos_tables=True, ring=route == "ring", exact=True)
+                SUMMARY[f"serving_b{B}_exact_ms"] = round(pse * 1e3, 2)
+                SUMMARY[f"serving_b{B}_exact_rtf"] = round(
+                    B * AUDIO_PER_CHUNK / pse, 1)
+                log(f"batched streaming B={B} (bf16, {route}, "
+                    f"exact-positions program): {pse * 1e3:.2f} ms/step, "
+                    f"{B * AUDIO_PER_CHUNK / pse:.0f}x realtime/chip "
+                    f"({pse / per_step:.2f}x the table route)")
+            except Exception as e:
+                log(f"exact-positions serving B={B} failed: {e}")
+        if args.full and route == "ring":
             # roll-and-rewrite ablation alongside (the r3 default)
             try:
                 ps2, _ = bench_stream_scan(model_bf16, vars_bf16, batch=B,
                                            K=200, fused=True,
                                            pos_tables=True)
-                serving[B]["roll_ms"] = ps2 * 1e3
-                serving[B]["roll_rtf"] = B * AUDIO_PER_CHUNK / ps2
-                log(f"batched streaming B={B} (bf16, roll-cache ablation): "
-                    f"{ps2 * 1e3:.2f} ms/step, "
-                    f"{serving[B]['roll_rtf']:.0f}x realtime/chip")
+                SUMMARY[f"serving_b{B}_roll_rtf"] = round(
+                    B * AUDIO_PER_CHUNK / ps2, 1)
+                log(f"batched streaming B={B} (bf16, roll-cache "
+                    f"ablation): {ps2 * 1e3:.2f} ms/step, "
+                    f"{B * AUDIO_PER_CHUNK / ps2:.0f}x realtime/chip")
             except Exception as e:
                 log(f"roll ablation B={B} failed: {e}")
-    # int8 KV caches (engine kv_cache='int8'): measured NON-lever on a
-    # single chip — the bf16 ring default beats every int8 config (the
-    # quant math is ~free but int8 has no ring kernel); kept as the
-    # density knob for the multi-device roll path and benched here for
-    # the record (docs/streaming_roofline.md round-4 table)
-    serving_q8 = {}
-    if use_fused_chunk:
+
+    if args.full and use_fused_chunk:
+        # int8 KV caches: measured NON-lever on a single chip — kept as
+        # the density knob for the multi-device roll path
+        # (docs/streaming_roofline.md round-4 table)
+        sect("serving ablations (int8, k=4)")
         for B in (32, 128):
             try:
                 per_step, _ = bench_stream_scan(model_bf16, vars_bf16,
@@ -501,16 +622,13 @@ def main():
             except Exception as e:
                 log(f"int8 KV serving B={B} unavailable: {e}")
                 break
-            streams_rtf = B * AUDIO_PER_CHUNK / per_step
-            serving_q8[B] = dict(ms=per_step * 1e3, rtf=streams_rtf)
+            SUMMARY[f"serving_b{B}_int8_rtf"] = round(
+                B * AUDIO_PER_CHUNK / per_step, 1)
             log(f"batched streaming B={B} (int8 KV cache): "
                 f"{per_step * 1e3:.2f} ms/step, "
-                f"{streams_rtf:.0f}x realtime/chip")
-    # multi-chunk ticks (engine tick_chunks=k): k buffered windows per
-    # slot in ONE dispatch — amortizes the per-tick cache/weight DMA
-    # that bounds the per-chunk step (docs/streaming_roofline.md)
-    serving_multi = {}
-    if use_fused_chunk:
+                f"{B * AUDIO_PER_CHUNK / per_step:.0f}x realtime/chip")
+        # multi-chunk ticks (engine tick_chunks=k): k buffered windows
+        # per slot in ONE dispatch
         TICK_K = 4
         multi_ok = False
         try:
@@ -531,23 +649,43 @@ def main():
                     log(f"multi-chunk serving B={B} {rkw} unavailable: {e}")
             if per_step is None:
                 break
-            streams_rtf = B * TICK_K * AUDIO_PER_CHUNK / per_step
-            serving_multi[B] = dict(ms=per_step * 1e3, rtf=streams_rtf,
-                                    k=TICK_K)
+            SUMMARY[f"serving_b{B}_k4_rtf"] = round(
+                B * TICK_K * AUDIO_PER_CHUNK / per_step, 1)
             log(f"batched streaming B={B} (multi-chunk tick k={TICK_K}): "
                 f"{per_step * 1e3:.2f} ms/step ({TICK_K} chunks), "
-                f"{streams_rtf:.0f}x realtime/chip")
+                f"{B * TICK_K * AUDIO_PER_CHUNK / per_step:.0f}x "
+                f"realtime/chip")
 
-    # batched full-context encode (serving `predict`), bf16: fused
-    # whole-layer Pallas kernel (the default) vs the XLA path vs flash
-    # attention. XLA's cost_analysis cannot count FLOPs inside Pallas
-    # kernels, so the xla variant's count prices all three (same math).
+    # ---- training steps (conformer, bf16 AMP) ---------------------- #
+    sect("train steps")
+    train_flops = None
+    try:
+        train_secs, train_flops = bench_train_step(B=16)
+        SUMMARY["train_step_ms"] = round(train_secs * 1e3, 1)
+        SUMMARY["train_mfu"] = mfu(train_flops, train_secs, peak)
+        log(f"train step B=16×12 s (bf16 AMP): {train_secs * 1e3:.1f} "
+            f"ms/step, MFU {SUMMARY['train_mfu']}")
+    except Exception as e:
+        log(f"train B=16 failed: {e}")
+    try:
+        train32_secs, _ = bench_train_step(B=32, count_flops=False)
+        SUMMARY["train_b32_step_ms"] = round(train32_secs * 1e3, 1)
+        SUMMARY["train_b32_mfu"] = mfu(
+            2 * train_flops if train_flops else None, train32_secs, peak)
+        log(f"train step B=32×12 s (bf16 AMP): {train32_secs * 1e3:.1f} "
+            f"ms/step, MFU {SUMMARY['train_b32_mfu']}")
+    except Exception as e:
+        log(f"train B=32 failed: {e}")
+
+    # ---- full-context encode (serving `predict`), conformer -------- #
+    sect("full-context conformer")
     T_full = 1200  # 12 s utterances
-    full = {}
     xla_flops_count = None
-    for key, kw in (("xla", dict(use_fused=False)),
-                    ("fused", dict(use_fused=True)),
-                    ("flash", dict(use_fused=False, use_flash=True))):
+    fc_variants = [("xla", dict(use_fused=False)),
+                   ("fused", dict(use_fused=True))]
+    if args.full:
+        fc_variants.append(("flash", dict(use_fused=False, use_flash=True)))
+    for key, kw in fc_variants:
         try:
             model_fc = build("bf16", **kw)
             vars_fc = init_vars(model_fc)
@@ -555,31 +693,25 @@ def main():
                                              T=T_full, K=64)
         except Exception as e:  # pallas needs a real TPU backend
             log(f"full-context {key} unavailable: {e}")
-            full[key] = dict(ms=None, rtf=None, mfu=None)
             continue
         if key == "xla":
             xla_flops_count = flops
         audio_s = 32 * T_full * 0.01
-        full[key] = dict(
-            ms=secs * 1e3, rtf=audio_s / secs,
-            mfu=mfu(xla_flops_count, secs, peak))
+        SUMMARY[f"full_context_b32_rtf_{key}"] = round(audio_s / secs, 1)
+        this_mfu = mfu(xla_flops_count, secs, peak)
+        if key in ("fused", "xla"):
+            SUMMARY["full_context_b32_mfu"] = this_mfu
         log(f"full-context encode B=32×12 s (bf16, {key}): "
             f"{secs * 1e3:.1f} ms, {audio_s / secs:.0f}x realtime, "
-            f"MFU {full[key]['mfu']}")
+            f"MFU {this_mfu}")
 
-    # per-family full-context serving at the FLAGSHIP batch (VERDICT r3
-    # item 4: comparable B=32 rows for all four families) —
-    # reference-default configs from configs/*.yml, bf16. XLA's
-    # cost_analysis cannot count FLOPs inside Pallas kernels, so each
-    # family's XLA route prices its fused route (same math) — the r3
-    # B=8 rows under-reported fused-family MFU by pricing with the
-    # near-zero in-kernel count.
+    # ---- per-family full-context at the flagship batch ------------- #
+    sect("families B=32")
     families = {}
     try:
         import yaml
         from masr_tpu.models.registry import build_model
         from masr_tpu.models.cmvn import GlobalCMVN
-        import jax.numpy as jnp2
 
         def build_family(fam, cfg, **extra_enc):
             enc = dict(cfg.get("encoder_conf") or {})
@@ -590,13 +722,13 @@ def main():
                 model_conf=dict(ctc_weight=1.0) if fam == "deepspeech2"
                 else dict(ctc_weight=0.3),
                 cmvn=GlobalCMVN(np.zeros(FEAT), np.ones(FEAT)),
-                dtype=jnp2.bfloat16)
+                dtype=jnp.bfloat16)
             vfam = jax.jit(m.init, static_argnames=("train",))(
                 {"params": jax.random.PRNGKey(0),
                  "dropout": jax.random.PRNGKey(0),
                  "chunk": jax.random.PRNGKey(0)},
-                jnp2.zeros((1, WINDOW, FEAT)), jnp2.asarray([WINDOW]),
-                jnp2.ones((1, 4), jnp2.int32), jnp2.asarray([4]),
+                jnp.zeros((1, WINDOW, FEAT)), jnp.asarray([WINDOW]),
+                jnp.ones((1, 4), jnp.int32), jnp.asarray([4]),
                 train=False)
             return m, vfam
 
@@ -628,23 +760,23 @@ def main():
                     f"MFU {row[key]['mfu']}")
             best = row.get("fused") or row.get("xla")
             if best:
-                families[fam] = dict(best, xla_rtf=(row.get("xla") or {})
-                                     .get("rtf"))
+                families[fam] = {"rtf": round(best["rtf"], 1),
+                                 "mfu": best["mfu"],
+                                 "xla_rtf": (round(row["xla"]["rtf"], 1)
+                                             if "xla" in row else None)}
+                SUMMARY["family_b32"] = families
         # deepspeech2 is RNN-bound: 5 sequential LSTM layers keep the MXU
         # idle between tiny (B, 4·H)×(H, 4·H) steps — its MFU ceiling is
         # structural, not a tuning gap (docs/status.md)
     except Exception as e:
         log(f"family bench unavailable: {e}")
 
-    # squeezeformer batched streaming (fused chunk kernel,
-    # ops/pallas/chunk_layer_sq.py — falls back to the vmapped engine
-    # path if the kernel is unavailable)
-    sq_serving = {}
+    # ---- squeezeformer batched streaming --------------------------- #
+    sect("squeezeformer streaming")
     try:
         import yaml
         from masr_tpu.models.registry import build_model
         from masr_tpu.models.cmvn import GlobalCMVN
-        import jax.numpy as jnp2
         with open("configs/squeezeformer.yml", encoding="utf-8") as f:
             sq_cfg = yaml.safe_load(f)
         m_sq = build_model(
@@ -653,13 +785,13 @@ def main():
             decoder_conf=sq_cfg.get("decoder_conf") or {},
             model_conf=dict(ctc_weight=0.3),
             cmvn=GlobalCMVN(np.zeros(FEAT), np.ones(FEAT)),
-            dtype=jnp2.bfloat16)
+            dtype=jnp.bfloat16)
         v_sq = jax.jit(m_sq.init, static_argnames=("train",))(
             {"params": jax.random.PRNGKey(0),
              "dropout": jax.random.PRNGKey(0),
              "chunk": jax.random.PRNGKey(0)},
-            jnp2.zeros((1, WINDOW, FEAT)), jnp2.asarray([WINDOW]),
-            jnp2.ones((1, 4), jnp2.int32), jnp2.asarray([4]),
+            jnp.zeros((1, WINDOW, FEAT)), jnp.asarray([WINDOW]),
+            jnp.ones((1, 4), jnp.int32), jnp.asarray([4]),
             train=False)
         fused_sq = False
         try:
@@ -679,117 +811,92 @@ def main():
             per_step, _ = bench_stream_scan(m_sq, v_sq, batch=32, K=100,
                                             fused=False)
         sq_rtf = 32 * AUDIO_PER_CHUNK / per_step
-        sq_serving = dict(ms=per_step * 1e3, rtf=sq_rtf, fused=fused_sq)
+        SUMMARY["serving_sq_b32_rtf"] = round(sq_rtf, 1)
+        SUMMARY["serving_sq_b32_fused"] = fused_sq
         log(f"batched streaming B=32 (squeezeformer, "
             f"{'fused' if fused_sq else 'vmapped'}): "
             f"{per_step * 1e3:.2f} ms/step, {sq_rtf:.0f}x realtime/chip")
     except Exception as e:
         log(f"squeezeformer streaming bench unavailable: {e}")
 
-    # on-device batched beam search (LM-free prefix beam, decoders/
-    # device_beam.py) — decode 128 utterances of CTC probs on chip
-    from masr_tpu.decoders.device_beam import ctc_beam_search_jax
-    import jax.numpy as jnp
-    Bd, Td = 128, 300
-    rs = np.random.RandomState(0)
-    lg = rs.standard_normal((Bd, Td, VOCAB_SIZE)).astype(np.float32)
-    lg[np.arange(Bd)[:, None], np.arange(Td)[None, :],
-       rs.randint(0, VOCAB_SIZE, (Bd, Td))] += 4
-    e = np.exp(lg - lg.max(-1, keepdims=True))
-    dprobs = jnp.asarray(e / e.sum(-1, keepdims=True))
-    dlens = jnp.full((Bd,), Td, jnp.int32)
-    _, _, sc = ctc_beam_search_jax(dprobs, dlens, beam_size=10,
-                                   cutoff_top_n=40)
-    float(jnp.sum(sc))
-    tbs = []
-    for i in range(3):
-        t0 = time.perf_counter()
-        _, _, sc = ctc_beam_search_jax(dprobs + jnp.float32(1e-7 * (i + 1)),
-                                       dlens, beam_size=10, cutoff_top_n=40)
-        float(jnp.sum(sc))
-        tbs.append(time.perf_counter() - t0)
-    beam_ms_utt = float(np.median(tbs)) / Bd * 1e3
-    log(f"on-device batched beam search: {np.median(tbs) * 1e3:.0f} ms for "
-        f"B={Bd}×{Td} frames (beam 10) = {beam_ms_utt:.2f} ms/utt")
-
-    # training step: B=16 (metric continuity) + B=32 (production shape —
-    # the per-step optimizer cost amortizes; see docs/status.md)
-    train_secs, train_flops = bench_train_step(B=16)
-    train_mfu = mfu(train_flops, train_secs, peak)
-    log(f"train step B=16×12 s (bf16 AMP): {train_secs * 1e3:.1f} ms/step, "
-        f"MFU {train_mfu}")
-    train32_secs, _ = bench_train_step(B=32, count_flops=False)
-    train32_mfu = mfu(2 * train_flops if train_flops else None,
-                      train32_secs, peak)
-    log(f"train step B=32×12 s (bf16 AMP): {train32_secs * 1e3:.1f} ms/step,"
-        f" MFU {train32_mfu}")
-
-    # squeezeformer train step (layer_norm config → fused train kernels)
-    sq_train = {}
+    # ---- e2e predict_stream (pcm→text) ----------------------------- #
+    sect("e2e predict_stream")
     try:
-        sq_secs, sq_flops = bench_sq_train_step(B=16)
-        sq_train = {"fused_ms": sq_secs["fused"] * 1e3,
-                    "xla_ms": sq_secs["xla"] * 1e3,
-                    "mfu": mfu(sq_flops, sq_secs["fused"], peak)}
-        log(f"squeezeformer train step B=16×12 s (layer_norm, fused): "
-            f"{sq_secs['fused'] * 1e3:.1f} ms/step "
-            f"(xla {sq_secs['xla'] * 1e3:.1f}), MFU {sq_train['mfu']}")
+        with tempfile.TemporaryDirectory() as td:
+            p50_e2e, p90_e2e = bench_e2e_stream(td)
+        SUMMARY["p50_e2e_ms"] = round(p50_e2e, 2)
+        SUMMARY["p90_e2e_ms"] = round(p90_e2e, 2)
+        log(f"e2e predict_stream per 0.64 s chunk: p50 {p50_e2e:.1f} ms, "
+            f"p90 {p90_e2e:.1f} ms (pcm→text incl. fused fbank + greedy; "
+            f"includes per-call dispatch transport — ~40 ms RTT through "
+            f"this box's remote-TPU tunnel, sub-ms on a local chip)")
     except Exception as e:
-        log(f"squeezeformer train bench unavailable: {e}")
+        log(f"e2e stream bench failed: {e}")
 
-    baseline_rtf = 5.5  # reference GPU streaming demo midpoint (BASELINE.md)
-    print(json.dumps({
-        "metric": "streaming_conformer_rtf",
-        "value": round(rtf, 2),
-        "unit": "x_realtime_per_chip",
-        "vs_baseline": round(rtf / baseline_rtf, 3),
-        "p50_e2e_ms": round(p50_e2e, 2),
-        "p90_e2e_ms": round(p90_e2e, 2),
-        "serving_b32_rtf": round(serving[32]["rtf"], 1),
-        "serving_b32_mfu": serving[32]["mfu"],
-        "serving_b128_rtf": round(serving[128]["rtf"], 1),
-        "serving_b128_mfu": serving[128]["mfu"],
-        "serving_route": serving[32].get("route"),
-        "serving_b32_roll_rtf": (round(serving[32]["roll_rtf"], 1)
-                                 if "roll_rtf" in serving[32] else None),
-        "serving_b128_roll_rtf": (round(serving[128]["roll_rtf"], 1)
-                                  if "roll_rtf" in serving[128] else None),
-        "serving_b32_int8_rtf":
-            round(serving_q8[32]["rtf"], 1) if 32 in serving_q8 else None,
-        "serving_b128_int8_rtf":
-            round(serving_q8[128]["rtf"], 1) if 128 in serving_q8 else None,
-        "serving_b32_k4_rtf":
-            round(serving_multi[32]["rtf"], 1)
-            if 32 in serving_multi else None,
-        "serving_b128_k4_rtf":
-            round(serving_multi[128]["rtf"], 1)
-            if 128 in serving_multi else None,
-        "serving_sq_b32_rtf":
-            round(sq_serving["rtf"], 1) if sq_serving else None,
-        "serving_sq_b32_fused": sq_serving.get("fused"),
-        "full_context_b32_rtf_xla":
-            round(full["xla"]["rtf"], 1) if full["xla"]["rtf"] else None,
-        "full_context_b32_rtf_fused":
-            round(full["fused"]["rtf"], 1) if full["fused"]["rtf"] else None,
-        "full_context_b32_rtf_flash":
-            round(full["flash"]["rtf"], 1) if full["flash"]["rtf"] else None,
-        "full_context_b32_mfu": full["fused"]["mfu"] or full["xla"]["mfu"],
-        "train_step_ms": round(train_secs * 1e3, 1),
-        "train_mfu": train_mfu,
-        "train_b32_step_ms": round(train32_secs * 1e3, 1),
-        "train_b32_mfu": train32_mfu,
-        "sq_train_fused_ms": (round(sq_train["fused_ms"], 1)
-                              if sq_train else None),
-        "sq_train_xla_ms": (round(sq_train["xla_ms"], 1)
-                            if sq_train else None),
-        "sq_train_mfu": sq_train.get("mfu"),
-        "family_b32": {fam: {"rtf": round(r["rtf"], 1), "mfu": r["mfu"],
-                             "xla_rtf": (round(r["xla_rtf"], 1)
-                                         if r.get("xla_rtf") else None)}
-                       for fam, r in families.items()} or None,
-        "device_beam_ms_per_utt": round(beam_ms_utt, 2),
-        "device": dev.device_kind,
-    }))
+    # ---- predict_long (VAD → batched encode → decode) -------------- #
+    sect("predict_long")
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            wall, audio_s, n_seg = bench_predict_long(td,
+                                                      minutes=args.minutes)
+        SUMMARY["predict_long_rtf"] = round(audio_s / wall, 1)
+        SUMMARY["predict_long_audio_s"] = round(audio_s, 1)
+        log(f"predict_long {audio_s / 60:.1f} min synthetic audio "
+            f"({n_seg} VAD segments): {wall:.2f} s wall = "
+            f"{audio_s / wall:.0f}x realtime (host VAD + batched encode "
+            f"+ greedy decode)")
+    except Exception as e:
+        log(f"predict_long bench failed: {e}")
+
+    # ---- on-device batched beam search ----------------------------- #
+    sect("device beam")
+    try:
+        from masr_tpu.decoders.device_beam import ctc_beam_search_jax
+        Bd, Td = 128, 300
+        rs = np.random.RandomState(0)
+        lg = rs.standard_normal((Bd, Td, VOCAB_SIZE)).astype(np.float32)
+        lg[np.arange(Bd)[:, None], np.arange(Td)[None, :],
+           rs.randint(0, VOCAB_SIZE, (Bd, Td))] += 4
+        e = np.exp(lg - lg.max(-1, keepdims=True))
+        dprobs = jnp.asarray(e / e.sum(-1, keepdims=True))
+        dlens = jnp.full((Bd,), Td, jnp.int32)
+        _, _, sc = ctc_beam_search_jax(dprobs, dlens, beam_size=10,
+                                       cutoff_top_n=40)
+        float(jnp.sum(sc))
+        tbs = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            _, _, sc = ctc_beam_search_jax(
+                dprobs + jnp.float32(1e-7 * (i + 1)), dlens, beam_size=10,
+                cutoff_top_n=40)
+            float(jnp.sum(sc))
+            tbs.append(time.perf_counter() - t0)
+        beam_ms_utt = float(np.median(tbs)) / Bd * 1e3
+        SUMMARY["device_beam_ms_per_utt"] = round(beam_ms_utt, 2)
+        log(f"on-device batched beam search: {np.median(tbs) * 1e3:.0f} ms "
+            f"for B={Bd}×{Td} frames (beam 10) = {beam_ms_utt:.2f} ms/utt")
+    except Exception as e:
+        log(f"device beam bench failed: {e}")
+
+    # ---- squeezeformer train A/B (ablation) ------------------------ #
+    if args.full:
+        sect("squeezeformer train A/B")
+        try:
+            sq_secs, sq_flops = bench_sq_train_step(B=16)
+            SUMMARY["sq_train_fused_ms"] = round(sq_secs["fused"] * 1e3, 1)
+            SUMMARY["sq_train_xla_ms"] = round(sq_secs["xla"] * 1e3, 1)
+            SUMMARY["sq_train_mfu"] = mfu(sq_flops, sq_secs["fused"], peak)
+            log(f"squeezeformer train step B=16×12 s (layer_norm, fused): "
+                f"{sq_secs['fused'] * 1e3:.1f} ms/step "
+                f"(xla {sq_secs['xla'] * 1e3:.1f}), "
+                f"MFU {SUMMARY['sq_train_mfu']}")
+        except Exception as e:
+            log(f"squeezeformer train bench unavailable: {e}")
+
+    SUMMARY["partial"] = False
+    SUMMARY["wall_s"] = round(time.time() - t_start, 1)
+    log(f"bench complete in {SUMMARY['wall_s']:.0f}s")
+    emit_summary()
 
 
 if __name__ == "__main__":
