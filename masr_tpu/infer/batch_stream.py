@@ -291,16 +291,37 @@ class BatchStreamSession(object):
         xs: (N, k, DECODING_WINDOW, feat) — k=1 single tick, k=tick_k
         multi-chunk tick. valids: {slot: valid OUTPUT frames this tick}
         → {slot: (score, text)}."""
-        out = {}
-        # a slot past the position-table horizon flips this tick to the
-        # exact-positions program (separately compiled on first use)
+        # slots past the position-table horizon need the exact-positions
+        # program (per-tick sinusoid+einsum — correct at ANY offset);
+        # slots inside it keep the fast in-kernel table DMA. A mixed
+        # tick dispatches the two programs over DISJOINT active masks —
+        # one long-lived stream no longer drags every co-scheduled
+        # stream onto the slower program (the r4 whole-tick any() flip).
         adv = xs.shape[1] * DECODING_CHUNK_SIZE
-        exact = self._pos_cap is not None and any(
-            self._slot_frames[s] >= self._pos_cap
-            for s in range(self.N) if active[s])
+        if self._pos_cap is None:
+            groups = [(active, False)]
+        else:
+            crossed = np.asarray(
+                [bool(active[s]) and self._slot_frames[s] >= self._pos_cap
+                 for s in range(self.N)])
+            table = np.asarray(active, bool) & ~crossed
+            groups = [(mask, exact) for mask, exact in
+                      ((table, False), (crossed, True)) if mask.any()]
         for s in range(self.N):
             if active[s]:
                 self._slot_frames[s] += adv
+        out = {}
+        for mask, exact in groups:
+            sub_valids = {s: n for s, n in valids.items() if mask[s]}
+            out.update(self._dispatch(xs, mask, sub_valids, exact))
+        return out
+
+    def _dispatch(self, xs, active, valids, exact):
+        """One compiled step over the `active` slots (all on the same
+        positions program). Inactive slots' encoder/decoder states pass
+        through unchanged (active-mask merge; the beam advance is
+        identity on slots whose frame-valid mask is all-False)."""
+        out = {}
         if self._dec_state is not None:
             fv = np.zeros((self.N, xs.shape[1] * DECODING_CHUNK_SIZE), bool)
             for slot, n in valids.items():

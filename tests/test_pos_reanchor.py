@@ -131,3 +131,80 @@ def test_engine_crosses_table_horizon_losslessly(setup):
         assert len(texts["small"]) > 0
     finally:
         cl.FORCE_ON_CPU = False
+
+
+def test_mixed_tick_per_slot_positions(setup):
+    """VERDICT r4 item 4: a tick whose batch holds one slot PAST the
+    table horizon and one inside it must dispatch the exact program for
+    the crossed slot ONLY — co-scheduled fresh streams keep the fast
+    table route. Pinned: transcripts from the mixed session == an
+    all-table session (huge table, horizon never reached) == an
+    (almost) all-exact session (tiny cap, both slots cross
+    immediately), fed identically; and the mixed session really issued
+    a two-group tick (one table dispatch + one exact dispatch)."""
+    import masr_tpu.ops.pallas.conformer_layer as cl
+    from masr_tpu.infer.batch_stream import BatchStreamSession
+    predictor = setup
+    kw = dict(preprocess_conf=predictor.predictor.meta["preprocess_conf"],
+              max_streams=2)
+    # L = cache_size(256) + chunk(16) = 272 →
+    #   512-row table: cap = (512-272)//8*8 = 240 frames (A crosses, B not)
+    #   288-row table: cap = 16 (both cross by their second tick)
+    #   4096-row table: cap ≈ 3824 (never crossed)
+    wave_a1 = _wave(3, 12.0)     # 300 frames ≫ 240: A crosses in phase 1
+    wave_a2 = _wave(4, 6.0)
+    wave_b = _wave(9, 6.0)       # 150 frames < 240: B stays on the table
+
+    def run(sess, spy=False):
+        ticks = []
+        if spy:
+            orig_round, orig_disp = sess._run_round, sess._dispatch
+
+            def round_spy(xs, active, valids):
+                ticks.append([])
+                return orig_round(xs, active, valids)
+
+            def disp_spy(xs, active, valids, exact):
+                ticks[-1].append(
+                    (int(np.asarray(active).sum()), bool(exact)))
+                return orig_disp(xs, active, valids, exact)
+            sess._run_round, sess._dispatch = round_spy, disp_spy
+        texts = {}
+        a = sess.open()
+        step = 32000
+        for i in range(0, len(wave_a1), step):
+            sess.feed_many([(a, wave_a1[i:i + step], False)])
+        b = sess.open()
+        for i in range(0, len(wave_b), step):
+            is_end = i + step >= len(wave_b)
+            r = sess.feed_many([(a, wave_a2[i:i + step], is_end),
+                                (b, wave_b[i:i + step], is_end)])
+            for s, v in r.items():
+                if v:
+                    texts[s] = v["text"]
+        out = (texts.get(a, ""), texts.get(b, ""))
+        sess.close(a)
+        sess.close(b)
+        return out, ticks
+
+    cl.FORCE_ON_CPU = True
+    try:
+        mixed_sess = BatchStreamSession(
+            predictor.predictor, predictor._text_featurizer.vocab_list,
+            pos_table_len=512, **kw)
+        assert mixed_sess._pos_cap == 240
+        mixed, ticks = run(mixed_sess, spy=True)
+        table, _ = run(BatchStreamSession(
+            predictor.predictor, predictor._text_featurizer.vocab_list,
+            pos_table_len=4096, **kw))
+        exact, _ = run(BatchStreamSession(
+            predictor.predictor, predictor._text_featurizer.vocab_list,
+            pos_table_len=288, **kw))
+        # at least one genuinely mixed tick: two disjoint single-slot
+        # dispatches, one exact and one on the table route
+        assert any(sorted(t) == [(1, False), (1, True)] for t in ticks), \
+            ticks
+        assert mixed == table == exact
+        assert mixed[0] and mixed[1]
+    finally:
+        cl.FORCE_ON_CPU = False
