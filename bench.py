@@ -118,16 +118,13 @@ def init_vars(model):
 
 
 def bench_stream_scan(model, variables, batch, K, fused=False,
-                      kv_int8=False, pos_tables=True, tick_k=1,
+                      pos_tables=True, tick_k=1,
                       ring=False, exact=False):
     """Scanned chunk stream: K distinct steps in one dispatch →
     (per_step_s, flops_per_step). fused=True uses the batched fused
     chunk step (ops/pallas/chunk_layer.py) — the path the batched
     serving engine routes on TPU; it additionally supports per-slot
-    offsets/validity (batch_stream.py). kv_int8=True benches the
-    per-row-quantized attention cache (fused_chunk_layer_q8 — measured
-    non-lever on a single chip vs the bf16 ring default; kept for the
-    multi-device roll path, docs/streaming_roofline.md round-4 table).
+    offsets/validity (batch_stream.py).
     tick_k>1 benches MULTI-CHUNK ticks (k buffered windows per slot per
     dispatch, block-causal sub-chunk mask — engine tick_chunks knob):
     each step then covers k× the audio. ring=True benches the
@@ -147,11 +144,9 @@ def bench_stream_scan(model, variables, batch, K, fused=False,
                 variables, method=lambda m: m.encoder.init_cache(
                     batch=batch, cache_size=cache_size, ring=True))
         else:
-            ckw = dict(batch=1, cache_size=cache_size)
-            if kv_int8:          # conformer-only kwarg
-                ckw["kv_int8"] = True
-            tmpl = model.apply(variables,
-                               method=lambda m: m.encoder.init_cache(**ckw))
+            tmpl = model.apply(
+                variables, method=lambda m: m.encoder.init_cache(
+                    batch=1, cache_size=cache_size))
             state = jax.tree.map(lambda x: jnp.stack([x] * batch), tmpl)
         method = type(model).get_encoder_out_chunk_batched
         # pack ONCE with the per-layer position tables, exactly like the
@@ -610,23 +605,7 @@ def main():
                 log(f"roll ablation B={B} failed: {e}")
 
     if args.full and use_fused_chunk:
-        # int8 KV caches: measured NON-lever on a single chip — kept as
-        # the density knob for the multi-device roll path
-        # (docs/streaming_roofline.md round-4 table)
-        sect("serving ablations (int8, k=4)")
-        for B in (32, 128):
-            try:
-                per_step, _ = bench_stream_scan(model_bf16, vars_bf16,
-                                                batch=B, K=200, fused=True,
-                                                kv_int8=True)
-            except Exception as e:
-                log(f"int8 KV serving B={B} unavailable: {e}")
-                break
-            SUMMARY[f"serving_b{B}_int8_rtf"] = round(
-                B * AUDIO_PER_CHUNK / per_step, 1)
-            log(f"batched streaming B={B} (int8 KV cache): "
-                f"{per_step * 1e3:.2f} ms/step, "
-                f"{B * AUDIO_PER_CHUNK / per_step:.0f}x realtime/chip")
+        sect("serving ablations (k=4)")
         # multi-chunk ticks (engine tick_chunks=k): k buffered windows
         # per slot in ONE dispatch
         TICK_K = 4

@@ -18,7 +18,6 @@ add_arg('is_itn',          bool, False,  "是否对文本进行反标准化")
 add_arg('decoder',         str,  'ctc_greedy', "解码器: ctc_greedy | ctc_beam_search | attention_rescoring | ctc_beam_search_device")
 add_arg('pun_model_dir',   str,  None,   "标点符号的模型文件夹路径")
 add_arg('max_streams',     int,  0,      "并发流式识别路数(>1 时用批量引擎，一次编译步进所有流)")
-add_arg('kv_cache',        str,  'bf16', "批量引擎注意力缓存精度: bf16(精确) | int8(逐行量化,减半缓存带宽)")
 add_arg('tick_chunks',     int,  1,      "批量引擎每次派发合并的块数(k>1 吞吐模式：缓存/权重DMA摊薄k倍，首包延迟增加(k-1)*0.64s)")
 add_arg('pos_table_len',   int,  8192,   "批量引擎位置表行数(约 len*40ms 流长后切换到精确位置程序，无精度损失；按会话时长设置)")
 args = parser.parse_args()
@@ -31,6 +30,6 @@ predictor = MASRPredictor(model_dir=args.model_dir, decoder=args.decoder,
 server = ASRServer(predictor, host=args.host, port=args.port,
                    ws_port=args.ws_port, use_pun=args.use_pun,
                    is_itn=args.is_itn, max_streams=args.max_streams,
-                   kv_cache=args.kv_cache, tick_chunks=args.tick_chunks,
+                   tick_chunks=args.tick_chunks,
                    pos_table_len=args.pos_table_len)
 server.start(block=True)

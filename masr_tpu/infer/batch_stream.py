@@ -29,15 +29,10 @@ from masr_tpu.infer.predictor import (CACHED_FEATURE_NUM, CONTEXT,
 class BatchStreamSession(object):
     def __init__(self, inference_predictor, vocab_list, preprocess_conf=None,
                  max_streams=8, decoder="ctc_greedy", decoder_conf=None,
-                 kv_cache="bf16", tick_chunks=1, pos_table_len=8192):
+                 tick_chunks=1, pos_table_len=8192):
         """decoder: 'ctc_greedy' (fused argmax head, per-slot host carry)
         or 'ctc_beam_search_device' (ALL slots' prefix beam search inside
         the tick program, incl. optional dense-bigram LM fusion).
-        kv_cache: 'bf16' (exact) or 'int8' (per-row-quantized attention
-        caches; needs the fused chunk path, falls back to bf16 without
-        it). int8 is the MULTI-DEVICE path's density knob — on a single
-        chip the bf16 ring default measures faster than every int8
-        config (docs/streaming_roofline.md round-4 table).
         tick_chunks=k>1: MULTI-CHUNK TICKS — when a slot has k full
         windows buffered, they run in ONE dispatch with a block-causal
         sub-chunk mask (bit-equivalent to k single ticks, bf16), paying
@@ -78,10 +73,6 @@ class BatchStreamSession(object):
             except Exception:
                 use_fused = False
         self._use_fused_chunk = use_fused
-        # int8 KV caches exist only for the Conformer chunk kernel
-        kv_int8 = kv_cache == "int8" and use_fused \
-            and self.ip.use_model == "conformer"
-        self.kv_cache = "int8" if kv_int8 else "bf16"
         # multi-chunk ticks: eligibility re-checked at the combined chunk
         # size (k·CH must fit the cache and the kernel's VMEM budget)
         self.tick_k = 1
@@ -95,12 +86,12 @@ class BatchStreamSession(object):
                 ok = False
             if ok:
                 self.tick_k = int(tick_chunks)
-        # ring-buffer att caches (bf16 fused path, single device): the
-        # kernels write only the c fresh rows per tick and the caches
-        # never round-trip through XLA — docs/streaming_roofline.md
+        # ring-buffer att caches (fused path; shard_maps over a
+        # registered mesh too — slots are the sharded axis): the kernels
+        # write only the c fresh rows per tick and the caches never
+        # round-trip through XLA — docs/streaming_roofline.md
         ring = False
-        if use_fused and not kv_int8 \
-                and hasattr(type(model), "chunk_ring_ok"):
+        if use_fused and hasattr(type(model), "chunk_ring_ok"):
             try:
                 ring = bool(model.apply(
                     variables, DECODING_CHUNK_SIZE, self.ip.cache_size,
@@ -111,10 +102,6 @@ class BatchStreamSession(object):
         if self.ip.use_model == "deepspeech2":
             template = model.apply(variables,
                                    method=lambda m: m.init_cache(batch=1))
-        elif kv_int8:       # conformer-only (chunk_fused_ok gates on it)
-            template = model.apply(
-                variables, method=lambda m: m.encoder.init_cache(
-                    batch=1, cache_size=self.ip.cache_size, kv_int8=True))
         elif ring:
             template = None     # ring leaves init at full N, no stacking
             self.states = jax.device_put(model.apply(

@@ -213,7 +213,7 @@ async function stopRecording() {
 class ASRServer(object):
     def __init__(self, predictor, host="0.0.0.0", port=5000, ws_port=None,
                  use_pun=False, is_itn=False, max_streams=0,
-                 kv_cache="bf16", tick_chunks=1, pos_table_len=8192):
+                 tick_chunks=1, pos_table_len=8192):
         """max_streams > 1 serves that many CONCURRENT WebSocket streams
         through the batched engine (masr_tpu.infer.batch_stream): one
         compiled vmapped chunk step per tick, per-connection slots.
@@ -252,7 +252,7 @@ class ASRServer(object):
                 preprocess_conf=dict(
                     predictor.predictor.meta.get("preprocess_conf") or {}),
                 max_streams=max_streams, decoder=stream_decoder,
-                decoder_conf=conf, kv_cache=kv_cache,
+                decoder_conf=conf,
                 tick_chunks=tick_chunks, pos_table_len=pos_table_len)
 
     # ------------------------------ REST ------------------------------- #

@@ -415,7 +415,7 @@ class ConformerEncoder(nn.Module):
                                      self.attention_heads, self.dtype)
 
     def forward_chunk_batched(self, xs, offsets, att_cache, cnn_cache,
-                              cache_lens, packed=None, att_scale=None,
+                              cache_lens, packed=None,
                               wptrs=None, active=None,
                               exact_positions=False):
         """Batched streaming chunk step with PER-SLOT offsets/validity —
@@ -424,11 +424,6 @@ class ConformerEncoder(nn.Module):
 
         xs: (N, T_in, input_size); offsets, cache_lens: (N,) int32;
         att_cache: (L, N, h, C, 2·d_k); cnn_cache: (L, N, lorder, D).
-        att_scale (optional): (L, N, 2·h, C) f32 — when given, att_cache
-        is int8 with per-row scales and the tick runs the quantized
-        kernel (fused_chunk_layer_q8 — the multi-device serving path's
-        density knob; on a single chip the bf16 ring route measures
-        faster, docs/streaming_roofline.md round-4 table).
         wptrs + active (optional): RING-BUFFER att caches — att_cache is
         then a TUPLE of L per-layer (N, h, 2·C, 2·d_k) MIRRORED ring
         arrays (rows [C, 2·C) duplicate rows [0, C); row
@@ -440,16 +435,12 @@ class ConformerEncoder(nn.Module):
         where()-merge these leaves.
         MULTI-CHUNK TICK: xs may be (N, k, T_in, input_size) — k buffered
         standard windows per slot, processed in ONE dispatch with a
-        block-causal sub-chunk mask; bit-equivalent to k sequential calls
-        (q8: within quantization noise — the fresh sub-chunk K/V stay
-        full-precision here where sequential steps re-read them
-        quantized) while paying the per-tick cache/weight DMA once.
-        → (ys (N, chunk[·k], D), new_att_cache[, new_att_scale],
-        new_cnn_cache)."""
+        block-causal sub-chunk mask; bit-equivalent to k sequential
+        calls while paying the per-tick cache/weight DMA once.
+        → (ys (N, chunk[·k], D), new_att_cache, new_cnn_cache)."""
         from masr_tpu.models.embedding import sinusoid_position_encoding
         from masr_tpu.ops.pallas.chunk_layer import (clamp_pos_starts,
-                                                     fused_chunk_layer,
-                                                     fused_chunk_layer_q8)
+                                                     fused_chunk_layer)
         n_sub = 1
         if xs.ndim == 4:
             n_sub = xs.shape[1]
@@ -471,9 +462,6 @@ class ConformerEncoder(nn.Module):
         if packed is None:
             packed = self.pack_chunk_params()
         l0 = self.encoders[0]
-        quant = att_scale is not None
-        assert not (ring and quant), \
-            "ring caches exist for the bf16 per-layer kernel only"
         # packs with per-layer HBM position tables (pack_chunk_params
         # called with cache_size) route the in-kernel positions DMA: no
         # (N, L, D) sinusoid + per-layer posp einsum per tick at all.
@@ -502,11 +490,14 @@ class ConformerEncoder(nn.Module):
                 self.dtype).reshape(N, L, self.output_size)
 
         def stack_fn(*a):
-            if quant:
-                x, pe, att_c, sc_c, cnn_c, clens, packs = a
+            if ring:
+                # wptrs/active are EXPLICIT args (closure capture would
+                # replicate the full (N,) arrays into every shard)
+                x, pe, att_c, cnn_c, clens, wp, act, packs = a
             else:
                 x, pe, att_c, cnn_c, clens, packs = a
-            new_att, new_sc, new_cnn = [], [], []
+                wp = act = None
+            new_att, new_cnn = [], []
             for i in range(len(self.encoders)):
                 if use_table:
                     posp, (p, _, ptab), starts = None, packs[i], pe
@@ -520,26 +511,14 @@ class ConformerEncoder(nn.Module):
                     posp = jnp.einsum(
                         "nld,de->nle", pe.astype(wpos.dtype), wpos,
                         preferred_element_type=jnp.float32).astype(pe.dtype)
-                if quant:
-                    x, a, s, cn = fused_chunk_layer_q8(
-                        x, posp, att_c[i], sc_c[i], cnn_c[i], clens,
-                        p, ptab, starts, n_head=self.attention_heads,
-                        ksize=self.cnn_module_kernel, ff_scale=l0.ff_scale,
-                        n_sub=n_sub)
-                    new_sc.append(s)
-                else:
-                    x, a, cn = fused_chunk_layer(
-                        x, posp, att_c[i], cnn_c[i], clens,
-                        p, None, ptab, starts,
-                        wptrs if ring else None, active if ring else None,
-                        n_head=self.attention_heads,
-                        ksize=self.cnn_module_kernel, ff_scale=l0.ff_scale,
-                        n_sub=n_sub)
+                x, a, cn = fused_chunk_layer(
+                    x, posp, att_c[i], cnn_c[i], clens,
+                    p, None, ptab, starts, wp, act,
+                    n_head=self.attention_heads,
+                    ksize=self.cnn_module_kernel, ff_scale=l0.ff_scale,
+                    n_sub=n_sub)
                 new_att.append(a)
                 new_cnn.append(cn)
-            if quant:
-                return (x, jnp.stack(new_att, 0), jnp.stack(new_sc, 0),
-                        jnp.stack(new_cnn, 0))
             if ring:
                 # aliased ring buffers stay per-layer leaves (stacking
                 # would copy them and break the in-place semantics)
@@ -547,40 +526,38 @@ class ConformerEncoder(nn.Module):
             return x, jnp.stack(new_att, 0), jnp.stack(new_cnn, 0)
 
         ok, mesh = self._fused_mesh(N)
-        assert not (ring and mesh is not None), \
-            "ring caches are single-device (no GSPMD aliasing route)"
+        if ring:
+            args = (xs, pos_or_starts, att_cache, cnn_cache, cache_lens,
+                    wptrs, active, packed)
+        else:
+            args = (xs, pos_or_starts, att_cache, cnn_cache, cache_lens,
+                    packed)
         if mesh is None:
-            out = stack_fn(*((xs, pos_or_starts, att_cache, att_scale,
-                              cnn_cache, cache_lens, packed) if quant else
-                             (xs, pos_or_starts, att_cache, cnn_cache,
-                              cache_lens, packed)))
+            out = stack_fn(*args)
         else:
             from jax.sharding import PartitionSpec as P
             ax = tuple(mesh.axis_names)
             # slots shard over every mesh axis; weights broadcast; caches
-            # shard on their slot dim (axis 1, after the layer dim)
-            if quant:
-                in_specs = (P(ax), P(ax), P(None, ax), P(None, ax),
-                            P(None, ax), P(ax), P())
-                out_specs = (P(ax), P(None, ax), P(None, ax), P(None, ax))
-                args = (xs, pos_or_starts, att_cache, att_scale, cnn_cache,
-                        cache_lens, packed)
+            # shard on their slot dim (axis 1 for stacked layouts; axis 0
+            # of each per-layer ring buffer — the ring pallas_call runs
+            # per shard on its local slots, the same local program the
+            # single-chip route compiles, with the buffer aliasing
+            # applying within each shard)
+            if ring:
+                # att_cache is a tuple of per-layer (N, ...) rings —
+                # P(ax) acts as a pytree prefix over its leaves
+                in_specs = (P(ax), P(ax), P(ax), P(None, ax), P(ax),
+                            P(ax), P(ax), P())
+                out_specs = (P(ax), P(ax), P(None, ax))
             else:
                 in_specs = (P(ax), P(ax), P(None, ax), P(None, ax), P(ax),
                             P())
                 out_specs = (P(ax), P(None, ax), P(None, ax))
-                args = (xs, pos_or_starts, att_cache, cnn_cache, cache_lens,
-                        packed)
             out = jax.shard_map(stack_fn, mesh=mesh, in_specs=in_specs,
                                 out_specs=out_specs, check_vma=False)(*args)
-        if quant:
-            xs, att_cache, att_scale, cnn_cache = out
-        else:
-            xs, att_cache, cnn_cache = out
+        xs, att_cache, cnn_cache = out
         if self.normalize_before:
             xs = self.after_norm(xs)
-        if quant:
-            return xs, att_cache, att_scale, cnn_cache
         return xs, att_cache, cnn_cache
 
     def pack_chunk_params(self, cache_size=None, pos_table_len=8192):
@@ -609,10 +586,8 @@ class ConformerEncoder(nn.Module):
         return out
 
     def init_cache(self, batch=1, cache_size=None, chunk_size=16,
-                   num_left_chunks=16, kv_int8=False, ring=False):
-        """Zeroed streaming cache pytree. kv_int8=True lays the attention
-        cache out as int8 + per-row f32 scales for the quantized fused
-        chunk kernel (fused_chunk_layer_q8) — batched-engine only.
+                   num_left_chunks=16, ring=False):
+        """Zeroed streaming cache pytree.
         ring=True lays the attention cache out as per-layer MIRRORED RING
         buffers (a tuple of L (batch, h, 2·C, 2·d_k) arrays — rows
         [C, 2·C) duplicate rows [0, C) so the kernel's chronological
@@ -622,7 +597,6 @@ class ConformerEncoder(nn.Module):
         stacking)."""
         C = cache_size if cache_size is not None else chunk_size * num_left_chunks
         if ring:
-            assert not kv_int8, "ring caches are bf16-only"
             # lane dim padded to the 128 tiling: Mosaic only lowers the
             # ring's windowed DMA slices at 128-multiple lane widths
             # (small models would otherwise lose the route; the pad rows
@@ -639,25 +613,24 @@ class ConformerEncoder(nn.Module):
                     "cache_len": jnp.zeros((batch,), jnp.int32),
                     "wptr": jnp.zeros((batch,), jnp.int32)}
         att = jnp.zeros((self.num_blocks, batch, self.attention_heads, C,
-                         2 * self.d_k), jnp.int8 if kv_int8 else self.dtype)
+                         2 * self.d_k), self.dtype)
         cnn = jnp.zeros((self.num_blocks, batch, max(self.lorder, 1),
                          self.output_size), self.dtype)
-        out = {"att_cache": att, "cnn_cache": cnn,
-               "offset": jnp.zeros((), jnp.int32),
-               "cache_len": jnp.zeros((), jnp.int32)}
-        if kv_int8:
-            out["att_scale"] = jnp.ones(
-                (self.num_blocks, batch, 2 * self.attention_heads, C),
-                jnp.float32)
-        return out
+        return {"att_cache": att, "cnn_cache": cnn,
+                "offset": jnp.zeros((), jnp.int32),
+                "cache_len": jnp.zeros((), jnp.int32)}
 
     def ring_chunk_eligible(self, chunk, cache_size, batch):
         """Whether the batched chunk step can run ring-buffer att caches:
-        fused path, single-device (no GSPMD aliasing), 8-aligned chunk,
-        cache a multiple of the chunk (writes never wrap mid-copy)."""
+        fused path, 8-aligned chunk, cache a multiple of the chunk
+        (writes never wrap mid-copy). Meshes are eligible too (r5): the
+        ring stack shard_maps with slots as the sharded axis — each
+        shard runs the SAME local pallas program the single-chip route
+        compiles, and the buffer aliasing applies within each shard."""
         if not self.fused_chunk_eligible(chunk, cache_size, batch):
             return False
-        if self._fused_mesh(batch)[1] is not None:
+        mesh = self._fused_mesh(batch)[1]
+        if mesh is not None and batch // mesh.size < 1:
             return False
         return (chunk % 8 == 0 and cache_size % chunk == 0)
 
@@ -845,16 +818,9 @@ class ConformerModel(nn.Module):
         C = att.shape[4]
         att_l = att[:, :, 0].transpose(1, 0, 2, 3, 4)
         cnn_l = cnn[:, :, 0].transpose(1, 0, 2, 3)
-        sc = state.get("att_scale")         # (N, L, 1, 2·h, C) | absent
-        if sc is not None:
-            ys, na, ns, nc = self.encoder.forward_chunk_batched(
-                speech, state["offset"], att_l, cnn_l, state["cache_len"],
-                packed=packed, att_scale=sc[:, :, 0].transpose(1, 0, 2, 3),
-                exact_positions=exact_positions)
-        else:
-            ys, na, nc = self.encoder.forward_chunk_batched(
-                speech, state["offset"], att_l, cnn_l, state["cache_len"],
-                packed=packed, exact_positions=exact_positions)
+        ys, na, nc = self.encoder.forward_chunk_batched(
+            speech, state["offset"], att_l, cnn_l, state["cache_len"],
+            packed=packed, exact_positions=exact_positions)
         chunk = ys.shape[1]
         new_state = {
             "att_cache": na.transpose(1, 0, 2, 3, 4)[:, :, None],
@@ -862,8 +828,6 @@ class ConformerModel(nn.Module):
             "offset": state["offset"] + chunk,
             "cache_len": jnp.minimum(state["cache_len"] + chunk, C),
         }
-        if sc is not None:
-            new_state["att_scale"] = ns.transpose(1, 0, 2, 3)[:, :, None]
         return self.ctc.softmax(ys), new_state
 
     def get_encoder_out_chunk_full(self, speech, state):

@@ -612,7 +612,7 @@ class SqueezeformerEncoder(nn.Module):
         return out
 
     def forward_chunk_batched(self, xs, offsets, att_cache, cnn_cache,
-                              cache_lens, packed=None, att_scale=None,
+                              cache_lens, packed=None,
                               wptrs=None, active=None,
                               exact_positions=False):
         """Batched streaming chunk step with PER-SLOT offsets/validity —
@@ -627,8 +627,6 @@ class SqueezeformerEncoder(nn.Module):
         block-causal sub-chunk mask — see chunk_layer.py).
         → (ys (N, chunk[·k], D_out), new_att_cache, new_cnn_cache)."""
         from masr_tpu.ops.pallas.chunk_layer_sq import fused_chunk_layer_sq
-        assert att_scale is None, \
-            "squeezeformer fused chunk has no int8-cache variant"
         # positions are always computed from the traced offsets here (no
         # HBM table route), so exact_positions is inherently satisfied;
         # ring caches exist for the Conformer kernel only

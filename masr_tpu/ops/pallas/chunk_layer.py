@@ -323,241 +323,18 @@ def _kernel(*refs, n_head, d_k, ksize, ff_scale, eps, table=False,
                                 w_sem.at[s, h, i, m]).wait()
 
 
-def _kernel_q8(*refs, n_head, d_k, ksize, ff_scale, eps, table=False,
-               n_sub=1):
-    """int8-KV-cache variant of _kernel: the rolled att cache is stored as
-    int8 with per-row absmax scales (sc_ref: (bs, 2·h, C) f32 — rows
-    0..h-1 key scales, h..2h-1 value scales; lane layout keeps the scale
-    state at 8 KB/slot instead of the 128 KB a (C, 2)-shaped f32 slab
-    would pad to). Dequant/quant transposes between the lane-layout state
-    and the (C, 1) sublane broadcasts go through eye-matmuls on the MXU —
-    Mosaic-safe, ~0.5 M MACs/slot. Chunk-fresh K/V stay full precision in
-    the score/AV matmuls; only the persisted cache rows are quantized.
-    table=True additionally DMAs positions from an HBM table (_kernel)."""
-    if table:
-        (clen_ref, start_ref, x_ref, tab_ref, ac_ref, sc_ref, cc_ref,
-         lnw_ref, ffw1_ref, ffb1_ref, ffw2_ref, vecb_ref, attw_ref,
-         posb_ref, pw1w_ref, pw1b_ref, pw2w_ref, dww_ref,
-         y_ref, nac_ref, nsc_ref, ncc_ref, qs_ref, ks_ref, vs_ref, pp_scr,
-         dma_sem) = refs
-    else:
-        (clen_ref, x_ref, pp_ref, ac_ref, sc_ref, cc_ref, lnw_ref,
-         ffw1_ref, ffb1_ref, ffw2_ref, vecb_ref, attw_ref, posb_ref,
-         pw1w_ref, pw1b_ref, pw2w_ref, dww_ref,
-         y_ref, nac_ref, nsc_ref, ncc_ref, qs_ref, ks_ref, vs_ref) = refs
-    g = pl.program_id(0)
-    bs, c, D = x_ref.shape
-    C = ac_ref.shape[2]
-    L = C + c
-    M = bs * c
-    cdt = x_ref.dtype
-    dmas = []
-    if table:
-        for s in range(bs):
-            # 8-aligned by the engine invariant — see _kernel
-            start = pl.multiple_of(start_ref[g * bs + s], 8)
-            dma = pltpu.make_async_copy(
-                tab_ref.at[pl.ds(start, L), :], pp_scr.at[s],
-                dma_sem.at[s])
-            dma.start()
-            dmas.append(dma)
-    x = x_ref[...].reshape(M, D).astype(jnp.float32)
-
-    def layer_norm(v, idx):
-        s = lnw_ref[idx, 0:1, :]
-        b = lnw_ref[idx, 1:2, :]
-        mu = jnp.mean(v, axis=1, keepdims=True)
-        var = jnp.mean(jnp.square(v - mu), axis=1, keepdims=True)
-        return (v - mu) * jax.lax.rsqrt(var + eps) * s + b
-
-    def mm(a, w):
-        return jax.lax.dot_general(a.astype(cdt), w.astype(cdt),
-                                   (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-
-    def silu(v):
-        return v * jax.nn.sigmoid(v)
-
-    def ffn(v, i):
-        h = silu(mm(v, ffw1_ref[i]) + ffb1_ref[i:i + 1, :])
-        return mm(h, ffw2_ref[i]) + vecb_ref[i:i + 1, :]
-
-    def eye(n):
-        return (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-                == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-                ).astype(jnp.float32)
-
-    def transpose(a):
-        # A^T via eye-matmul: out[i, j] = Σ_k I[i, k]·A[j, k] = A[j, i]
-        return jax.lax.dot_general(eye(a.shape[1]), a,
-                                   (((1,), (1,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-
-    x = x + ff_scale * ffn(layer_norm(x, 0), 0)
-
-    # ---- rel-pos MHSA over [deq(int8 cache) ‖ chunk] ----
-    xn = layer_norm(x, 1)
-    q = mm(xn, attw_ref[0]) + vecb_ref[2:3, :]
-    k = mm(xn, attw_ref[1]) + vecb_ref[3:4, :]
-    v = mm(xn, attw_ref[2]) + vecb_ref[4:5, :]
-    scale = 1.0 / (d_k ** 0.5)
-    row_head = jax.lax.broadcasted_iota(jnp.int32, (n_head * c, n_head * L),
-                                        0) // c
-    col_idx = jax.lax.broadcasted_iota(jnp.int32, (n_head * c, n_head * L),
-                                       1)
-    col_head = col_idx // L
-    col_pos = col_idx - col_head * L
-    same_head = row_head == col_head
-    if n_sub > 1:
-        min_cache_col, chunk_lim = _sub_chunk_mask_parts(
-            n_head, c, L, C, n_sub)
-    att_rows = []
-    for s in range(bs):
-        rows = slice(s * c, (s + 1) * c)
-        valid = clen_ref[g * bs + s]
-        if table:
-            dmas[s].wait()
-            # scratch lane dim may be padded to the 128 tiling
-            ph_full = pp_scr[s][:, 0:D].astype(jnp.float32)
-        else:
-            ph_full = pp_ref[s].astype(jnp.float32)
-        # (2h, C) lane-layout scales → (C, 2h) sublane columns
-        s_cols = transpose(sc_ref[s])                   # (C, 2h)
-        for h in range(n_head):
-            sl = slice(h * d_k, (h + 1) * d_k)
-            qs_ref[h * c:(h + 1) * c, 0:d_k] = q[rows, sl] \
-                + posb_ref[0:1, sl]
-            qs_ref[h * c:(h + 1) * c, d_k:2 * d_k] = q[rows, sl] \
-                + posb_ref[1:2, sl]
-            ks_ref[h * L:h * L + C, 0:d_k] = \
-                ac_ref[s, h, :, 0:d_k].astype(jnp.float32) \
-                * s_cols[:, h:h + 1]
-            ks_ref[h * L + C:(h + 1) * L, 0:d_k] = k[rows, sl]
-            ks_ref[h * L:(h + 1) * L, d_k:2 * d_k] = ph_full[:, sl]
-            vs_ref[h * L:h * L + C, :] = \
-                ac_ref[s, h, :, d_k:2 * d_k].astype(jnp.float32) \
-                * s_cols[:, n_head + h:n_head + h + 1]
-            vs_ref[h * L + C:(h + 1) * L, :] = v[rows, sl]
-        v_stack = vs_ref[...]
-        sc = jax.lax.dot_general(
-            qs_ref[...].astype(cdt), ks_ref[...].astype(cdt),
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        if n_sub > 1:
-            ok = same_head & (
-                ((col_pos < C) & (col_pos >= C - valid)
-                 & (col_pos >= min_cache_col))
-                | ((col_pos >= C) & (col_pos < chunk_lim)))
-        else:
-            ok = same_head & ((col_pos >= C - valid) | (col_pos >= C))
-        sc = jnp.where(ok, sc, MASK_VALUE)
-        m = jnp.max(sc, axis=1, keepdims=True)
-        p = jnp.exp(sc - m)
-        p = jnp.where(ok, p, 0.0)
-        l = jnp.sum(p, axis=1, keepdims=True)
-        attn = p / jnp.where(l == 0.0, 1.0, l)
-        o_stack = jax.lax.dot_general(
-            attn.astype(cdt), v_stack.astype(cdt), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        att_rows.append(jnp.concatenate(
-            [o_stack[h * c:(h + 1) * c, :] for h in range(n_head)], axis=1))
-        # quantize the chunk's fresh K/V rows and roll them in
-        absm = jnp.zeros((c, 2 * n_head), jnp.float32)
-        for h in range(n_head):
-            sl = slice(h * d_k, (h + 1) * d_k)
-            kk, vv = k[rows, sl], v[rows, sl]
-            ksc = jnp.maximum(jnp.max(jnp.abs(kk), axis=1, keepdims=True),
-                              1e-6) / 127.0              # (c, 1)
-            vsc = jnp.maximum(jnp.max(jnp.abs(vv), axis=1, keepdims=True),
-                              1e-6) / 127.0
-            kq = jnp.clip(jnp.round(kk / ksc), -127.0, 127.0)
-            vq = jnp.clip(jnp.round(vv / vsc), -127.0, 127.0)
-            new_kv = jnp.concatenate([kq, vq], axis=1)
-            if c < C:
-                old = ac_ref[s, h, :, :].astype(jnp.float32)
-                rolled = jnp.concatenate([old[c:, :], new_kv], axis=0)
-            else:
-                rolled = new_kv
-            nac_ref[s, h, :, :] = rolled.astype(nac_ref.dtype)
-            # scatter per-head scale columns via lane-index select
-            # (no .at[] updates on values inside Mosaic)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (c, 2 * n_head), 1)
-            absm = jnp.where(lane == h, ksc, absm)
-            absm = jnp.where(lane == n_head + h, vsc, absm)
-        # rolled scales: old lanes shifted left by c, new scales appended
-        new_rows = transpose(absm)                       # (2h, c)
-        if c < C:
-            old_sc = sc_ref[s]                           # (2h, C)
-            nsc_ref[s, :, 0:C - c] = old_sc[:, c:]
-        nsc_ref[s, :, C - c:C] = new_rows
-    att = jnp.concatenate(att_rows, axis=0) if bs > 1 else att_rows[0]
-    x = x + mm(att, attw_ref[3]) + vecb_ref[5:6, :]
-
-    # ---- causal conv with ring cache (identical to _kernel) ----
-    xn2 = layer_norm(x, 2)
-    conv_rows = []
-    for s in range(bs):
-        rows = slice(s * c, (s + 1) * c)
-        cin = jnp.concatenate(
-            [cc_ref[s].astype(jnp.float32), xn2[rows, :]], axis=0)
-        ncc_ref[s] = cin[c:, :].astype(ncc_ref.dtype)
-        gx = mm(cin, pw1w_ref[...]) + pw1b_ref[...]
-        u = gx[:, :D] * jax.nn.sigmoid(gx[:, D:])
-        acc = jnp.zeros((c, D), jnp.float32)
-        for i in range(ksize):
-            acc = acc + u[i:i + c, :] * dww_ref[i:i + 1, :]
-        conv_rows.append(acc)
-    cv = jnp.concatenate(conv_rows, axis=0) if bs > 1 else conv_rows[0]
-    cv = cv + vecb_ref[6:7, :]
-    cv = silu(layer_norm(cv, 3))
-    cv = mm(cv, pw2w_ref[...]) + vecb_ref[7:8, :]
-    x = x + cv
-
-    x = x + ff_scale * ffn(layer_norm(x, 4), 1)
-    y_ref[...] = layer_norm(x, 5).astype(y_ref.dtype).reshape(bs, c, D)
-
-
-def quantize_kv_cache(att_cache, n_head=None):
-    """(…, h, C, 2·d_k) float att cache → (int8 cache, (…, 2·h, C) f32
-    scales) with per-row absmax scales (k rows 0..h-1, v rows h..2h-1).
-    XLA-side helper for cache init / tests / migrating live sessions."""
-    *lead, h, C, dk2 = att_cache.shape
-    d_k = dk2 // 2
-    f = att_cache.astype(jnp.float32)
-    k, v = f[..., :d_k], f[..., d_k:]
-    ks = jnp.maximum(jnp.max(jnp.abs(k), axis=-1), 1e-6) / 127.0  # (…,h,C)
-    vs = jnp.maximum(jnp.max(jnp.abs(v), axis=-1), 1e-6) / 127.0
-    kq = jnp.clip(jnp.round(k / ks[..., None]), -127, 127)
-    vq = jnp.clip(jnp.round(v / vs[..., None]), -127, 127)
-    q = jnp.concatenate([kq, vq], axis=-1).astype(jnp.int8)
-    scales = jnp.concatenate([ks, vs], axis=-2)                  # (…,2h,C)
-    return q, scales
-
-
-def dequantize_kv_cache(q, scales):
-    """Inverse of quantize_kv_cache (returns f32)."""
-    *lead, h, C, dk2 = q.shape
-    d_k = dk2 // 2
-    ks = scales[..., :h, :, None]
-    vs = scales[..., h:, :, None]
-    f = q.astype(jnp.float32)
-    return jnp.concatenate([f[..., :d_k] * ks, f[..., d_k:] * vs], axis=-1)
-
-
 def chunk_layer_supported(c, C, D, F, n_head, dtype=jnp.bfloat16,
-                          quant=False, table=False):
+                          table=False):
     """VMEM estimate at the default block_b."""
-    bs = pick_chunk_block_b(c, C, D, F, n_head, dtype, quant=quant,
-                            table=table)
+    bs = pick_chunk_block_b(c, C, D, F, n_head, dtype, table=table)
     return bs >= 1
 
 
-def _vmem(c, C, D, F, n_head, dtype, bs, quant=False, table=False,
-          ring=False):
+def _vmem(c, C, D, F, n_head, dtype, bs, table=False, ring=False):
     s = jnp.dtype(dtype).itemsize
     L = C + c
     weights = (4 * D * F + 7 * D * D + 2 * D * D) * s
-    cache_s = 1 if quant else s
+    cache_s = s
     if ring:
         # single-buffered DMA scratch (read, chronological window) +
         # c-row staging (write) — no double-buffered in/out blocks and
@@ -568,8 +345,6 @@ def _vmem(c, C, D, F, n_head, dtype, bs, quant=False, table=False,
             + bs * n_head * c * rp * cache_s
     else:
         caches = bs * n_head * C * 2 * (D // n_head) * cache_s * 2 * 2
-    if quant:
-        caches += bs * 2 * n_head * C * 4 * 2 * 2         # f32 scales
     # posp: double-buffered input block, or single-buffered DMA scratch
     # when positions come from the HBM table
     pe = bs * L * (-(-D // 128) * 128 if table else D) * s \
@@ -580,9 +355,9 @@ def _vmem(c, C, D, F, n_head, dtype, bs, quant=False, table=False,
 
 
 def pick_chunk_block_b(c, C, D, F, n_head, dtype=jnp.bfloat16, max_bs=8,
-                       quant=False, table=False, ring=False):
+                       table=False, ring=False):
     for bs in range(max_bs, 0, -1):
-        if _vmem(c, C, D, F, n_head, dtype, bs, quant, table, ring) \
+        if _vmem(c, C, D, F, n_head, dtype, bs, table, ring) \
                 < int(13.5 * 1024 * 1024):
             return bs
     return 0
@@ -794,107 +569,3 @@ def fused_chunk_layer(x, posp, att_cache, cnn_cache, cache_lens, params,
     if pad_b:
         return y[:B], nac[:B], ncc[:B]
     return y, nac, ncc
-
-
-@functools.partial(jax.jit, static_argnames=(
-    "n_head", "ksize", "ff_scale", "eps", "block_b", "interpret",
-    "n_sub"))
-def fused_chunk_layer_q8(x, posp, att_cache, att_scale, cnn_cache,
-                         cache_lens, params, pos_table=None, starts=None,
-                         *, n_head, ksize, ff_scale=0.5,
-                         eps=1e-5, block_b=None, interpret=None, n_sub=1):
-    """int8-KV-cache variant of fused_chunk_layer. att_cache: (B, h, C,
-    2·d_k) int8; att_scale: (B, 2·h, C) f32 per-row absmax scales (k rows
-    0..h-1, v rows h..2h-1). Halving the cache bytes roughly halves the
-    per-grid-step DMA that bounds the tick (docs/streaming_roofline.md)
-    and frees VMEM for a bigger slot block. pos_table/starts as in
-    fused_chunk_layer (in-kernel positions DMA, posp=None; every starts
-    element MUST be 8-aligned — see fused_chunk_layer); n_sub as in
-    fused_chunk_layer (multi-chunk tick, block-causal sub-chunk mask).
-    → (y, new_att_cache int8, new_att_scale, new_cnn_cache)."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    table = pos_table is not None
-    B, c, D = x.shape
-    C = att_cache.shape[2]
-    F = params["ffw1"].shape[2]
-    bs = block_b or pick_chunk_block_b(c, C, D, F, n_head, x.dtype,
-                                       quant=True, table=table)
-    bs = max(1, min(bs, B))
-    pad_b = (-B) % bs
-    if pad_b:
-        x = jnp.pad(x, ((0, pad_b), (0, 0), (0, 0)))
-        if table:
-            starts = jnp.pad(starts, (0, pad_b))
-        else:
-            posp = jnp.pad(posp, ((0, pad_b), (0, 0), (0, 0)))
-        att_cache = jnp.pad(att_cache, ((0, pad_b),) + ((0, 0),) * 3)
-        att_scale = jnp.pad(att_scale, ((0, pad_b), (0, 0), (0, 0)),
-                            constant_values=1.0)
-        cnn_cache = jnp.pad(cnn_cache, ((0, pad_b), (0, 0), (0, 0)))
-        cache_lens = jnp.pad(cache_lens, (0, pad_b))
-    Bp = B + pad_b
-    L = C + c
-    lorder = ksize - 1
-    const = lambda shape: pl.BlockSpec(shape, lambda b, *_: (0,) * len(shape))
-    bspec = lambda shape: pl.BlockSpec(
-        shape, lambda b, *_: (b,) + (0,) * (len(shape) - 1))
-    pos_spec = [pl.BlockSpec(memory_space=pl.ANY)] if table \
-        else [bspec((bs, L, D))]
-    scalars = (cache_lens.astype(jnp.int32),) + (
-        (starts.astype(jnp.int32),) if table else ())
-    pos_args = (pos_table,) if table else (posp,)
-    extra_scratch = [pltpu.VMEM((bs, L, pos_table.shape[1]),
-                                pos_table.dtype),
-                     pltpu.SemaphoreType.DMA((bs,))] if table else []
-    assert c <= C and c % n_sub == 0, (c, C, n_sub)
-    y, nac, nsc, ncc = pl.pallas_call(
-        functools.partial(_kernel_q8, n_head=n_head, d_k=D // n_head,
-                          ksize=ksize, ff_scale=ff_scale, eps=eps,
-                          table=table, n_sub=n_sub),
-        out_shape=(jax.ShapeDtypeStruct((Bp, c, D), x.dtype),
-                   jax.ShapeDtypeStruct(att_cache.shape, jnp.int8),
-                   jax.ShapeDtypeStruct(att_scale.shape, jnp.float32),
-                   jax.ShapeDtypeStruct(cnn_cache.shape, cnn_cache.dtype)),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2 if table else 1,
-            grid=(Bp // bs,),
-            in_specs=[
-                bspec((bs, c, D)),                    # x
-            ] + pos_spec + [                          # posp | pos table
-                bspec((bs, n_head, C, 2 * (D // n_head))),   # att cache q8
-                bspec((bs, 2 * n_head, C)),           # att scales
-                bspec((bs, lorder, D)),               # cnn cache
-                const((6, 2, D)),                     # lnw
-                const((2, D, F)),                     # ffw1
-                const((2, F)),                        # ffb1
-                const((2, F, D)),                     # ffw2
-                const((8, D)),                        # vecb
-                const((4, D, D)),                     # attw
-                const((2, D)),                        # posb
-                const((D, 2 * D)),                    # pw1w
-                const((1, 2 * D)),                    # pw1b
-                const((D, D)),                        # pw2w
-                const((ksize, D)),                    # dww
-            ],
-            out_specs=(bspec((bs, c, D)),
-                       bspec((bs, n_head, C, 2 * (D // n_head))),
-                       bspec((bs, 2 * n_head, C)),
-                       bspec((bs, lorder, D))),
-            scratch_shapes=[
-                pltpu.VMEM((n_head * c, 2 * (D // n_head)), jnp.float32),
-                pltpu.VMEM((n_head * L, 2 * (D // n_head)), jnp.float32),
-                pltpu.VMEM((n_head * L, D // n_head), jnp.float32),
-            ] + extra_scratch,
-        ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
-        interpret=interpret,
-    )(*scalars, x, *pos_args, att_cache,
-      att_scale.astype(jnp.float32), cnn_cache,
-      params["lnw"], params["ffw1"], params["ffb1"], params["ffw2"],
-      params["vecb"], params["attw"], params["posb"],
-      params["pw1w"], params["pw1b"], params["pw2w"], params["dww"])
-    if pad_b:
-        return y[:B], nac[:B], nsc[:B], ncc[:B]
-    return y, nac, nsc, ncc

@@ -1,10 +1,8 @@
 """Multi-chunk ticks (ops/pallas/chunk_layer.py n_sub > 1): one kernel
 call over k buffered sub-chunks with a block-causal sub-chunk mask must
 be bit-equivalent to k sequential chunk steps (bf16 / positions-table
-routes; the int8-KV route is equivalent up to quantization noise — the
-multi tick reads fresh sub-chunk K/V at full precision where sequential
-steps re-read them quantized, i.e. it is strictly MORE accurate), and the
-batch engine's tick_chunks knob must keep transcripts equal end-to-end."""
+routes), and the batch engine's tick_chunks knob must keep transcripts
+equal end-to-end."""
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -12,8 +10,7 @@ import pytest
 
 from masr_tpu.models.embedding import sinusoid_position_encoding
 from masr_tpu.ops.pallas.chunk_layer import (
-    clamp_pos_starts, fused_chunk_layer, fused_chunk_layer_q8,
-    make_chunk_pos_table, quantize_kv_cache)
+    clamp_pos_starts, fused_chunk_layer, make_chunk_pos_table)
 
 B, c, D, F, H, C, KS = 3, 16, 64, 96, 2, 64, 7
 d_k = D // H
@@ -108,36 +105,6 @@ def test_multi_chunk_matches_sequential_table_route():
     np.testing.assert_allclose(np.asarray(y_m), np.asarray(y_seq),
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(ac_m), np.asarray(ac),
-                               rtol=2e-5, atol=2e-5)
-
-
-def test_multi_chunk_q8_within_quant_noise():
-    rs = np.random.RandomState(2)
-    p = _params(rs)
-    x, cache, cc, clens, offsets = _inputs(rs)
-    q, s = quantize_kv_cache(cache)
-    Ls = C + c
-    ac8, sc8, cc8, cl, off = q, s, cc, clens, offsets
-    y_seq = []
-    for i in range(K_SUB):
-        y, ac8, sc8, cc8 = fused_chunk_layer_q8(
-            x[:, i * c:(i + 1) * c], _posw(off, Ls), ac8, sc8, cc8, cl, p,
-            n_head=H, ksize=KS, interpret=True)
-        y_seq.append(y)
-        cl = jnp.minimum(cl + c, C)
-        off = off + c
-    y_seq = jnp.concatenate(y_seq, axis=1)
-
-    y_m, _, _, _ = fused_chunk_layer_q8(
-        x, _posw(offsets, C + CTOT), q, s, cc, clens, p,
-        n_head=H, ksize=KS, interpret=True, n_sub=K_SUB)
-    # sub-chunk 0's K/V reach sub-chunk 1 quantized in the sequential
-    # path, full-precision in the multi tick → bounded, not bit-equal
-    err = np.abs(np.asarray(y_m) - np.asarray(y_seq)).max()
-    assert err < 0.05, err
-    # sub-chunk 0's own rows never see the difference — exact
-    np.testing.assert_allclose(np.asarray(y_m[:, :c]),
-                               np.asarray(y_seq[:, :c]),
                                rtol=2e-5, atol=2e-5)
 
 

@@ -9,9 +9,8 @@ import jax.numpy as jnp
 import pytest
 
 from masr_tpu.ops.pallas.chunk_layer import (
-    clamp_pos_starts, fused_chunk_layer, fused_chunk_layer_q8,
-    make_chunk_pos_table, quantize_kv_cache)
-from tests.test_chunk_q8 import _params, B, c, D, F, H, C, KS, d_k, L
+    clamp_pos_starts, fused_chunk_layer, make_chunk_pos_table)
+from tests.chunk_common import _params, B, c, D, F, H, C, KS, d_k, L
 
 TAB = 512
 
@@ -46,8 +45,7 @@ def test_pos_table_rows_match_einsum_route():
                                    rtol=1e-6, atol=1e-6)
 
 
-@pytest.mark.parametrize("quant", [False, True])
-def test_table_kernel_matches_posp_kernel(quant):
+def test_table_kernel_matches_posp_kernel():
     rs = np.random.RandomState(0)
     p = _params(rs)
     x, cache, cc, clens = _inputs(B, rs)
@@ -59,18 +57,10 @@ def test_table_kernel_matches_posp_kernel(quant):
     # posp input path
     posp = jnp.stack([tab[int(o):int(o) + L, :D] for o in starts])
 
-    if quant:
-        q, s = quantize_kv_cache(cache)
-        ref = fused_chunk_layer_q8(x, posp, q, s, cc, clens, p,
-                                   n_head=H, ksize=KS, interpret=True)
-        got = fused_chunk_layer_q8(x, None, q, s, cc, clens, p, tab,
-                                   starts, n_head=H, ksize=KS,
-                                   interpret=True)
-    else:
-        ref = fused_chunk_layer(x, posp, cache, cc, clens, p,
-                                n_head=H, ksize=KS, interpret=True)
-        got = fused_chunk_layer(x, None, cache, cc, clens, p, None, tab,
-                                starts, n_head=H, ksize=KS, interpret=True)
+    ref = fused_chunk_layer(x, posp, cache, cc, clens, p,
+                            n_head=H, ksize=KS, interpret=True)
+    got = fused_chunk_layer(x, None, cache, cc, clens, p, None, tab,
+                            starts, n_head=H, ksize=KS, interpret=True)
     for a, b in zip(got, ref):
         np.testing.assert_allclose(np.asarray(a).astype(np.float32),
                                    np.asarray(b).astype(np.float32),

@@ -10,7 +10,7 @@ import jax.numpy as jnp
 import pytest
 
 from masr_tpu.ops.pallas.chunk_layer import fused_chunk_layer
-from tests.test_chunk_q8 import _params, B, c, D, F, H, C, KS, d_k, L
+from tests.chunk_common import _params, B, c, D, F, H, C, KS, d_k, L
 
 
 def _seq_inputs(rs, T, nslots=B):

@@ -168,3 +168,73 @@ def test_fused_chunk_batched_under_mesh():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(c0), np.asarray(c1),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_ring_chunk_batched_under_mesh():
+    """VERDICT r4 item 3: the RING-buffer chunk route must ride the mesh
+    too (slots = the sharded axis; each shard runs the same local pallas
+    program the single-chip route compiles). A 6-tick sequence — warmup,
+    wrap-around (C/chunk = 4 ticks) and inactive slots — with 8 slots
+    sharded over 8 devices must match the single-device ring route
+    exactly, caches included."""
+    mesh = make_mesh()
+    enc, enc0, v, speech, lens = _build(causal=True)
+    N, chunk_in, chunk, C = 8, 67, 16, 64
+    rs = np.random.RandomState(11)
+    xs_seq = [jnp.asarray(rs.standard_normal((N, chunk_in, 80)),
+                          jnp.float32) for _ in range(6)]
+    actives = [np.ones(N, bool) for _ in range(6)]
+    actives[2][3:6] = False          # some slots idle through the wrap
+    actives[4][0] = False
+    packed = enc.apply(v, method=lambda m: m.pack_chunk_params(
+        cache_size=C))
+
+    def run(m):
+        ok = enc.apply(v, method=lambda mod: mod.ring_chunk_eligible(
+            chunk, C, N))
+        assert ok, "ring route must be eligible (incl. under the mesh)"
+        state = enc.apply(v, method=lambda mod: mod.init_cache(
+            batch=N, cache_size=C, ring=True))
+        state = jax.tree.map(jnp.array, state)   # fresh buffers per run
+        outs = []
+
+        def tick(mod, xs, off, att, cnn, clens, wp, act):
+            return mod.forward_chunk_batched(
+                xs, off, att, cnn, clens, packed=packed, wptrs=wp,
+                active=act)
+
+        for xs, act in zip(xs_seq, actives):
+            actj = jnp.asarray(act)
+            with active_mesh(m):
+                ys, new_att, new_cnn = enc.apply(
+                    v, xs, state["offset"], state["att_cache"],
+                    state["cnn_cache"], state["cache_len"], state["wptr"],
+                    actj, method=tick)
+            # engine-style per-slot advance (batch_stream.encoder_step)
+            state = {
+                "att_cache": new_att,
+                "cnn_cache": jnp.where(actj.reshape(1, -1, 1, 1),
+                                       new_cnn, state["cnn_cache"]),
+                "offset": jnp.where(actj, state["offset"] + chunk,
+                                    state["offset"]),
+                "cache_len": jnp.where(
+                    actj, jnp.minimum(state["cache_len"] + chunk, C),
+                    state["cache_len"]),
+                "wptr": jnp.where(actj, (state["wptr"] + chunk) % C,
+                                  state["wptr"]),
+            }
+            outs.append(np.asarray(ys))
+        return outs, state
+
+    ys0, st0 = run(None)
+    ys1, st1 = run(mesh)
+    for y0, y1, act in zip(ys0, ys1, actives):
+        np.testing.assert_allclose(y0[act], y1[act], rtol=2e-5, atol=2e-5)
+    for l0, l1 in zip(st0["att_cache"], st1["att_cache"]):
+        np.testing.assert_allclose(np.asarray(l0), np.asarray(l1),
+                                   rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(st0["cnn_cache"]),
+                               np.asarray(st1["cnn_cache"]),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(st0["wptr"]),
+                                  np.asarray(st1["wptr"]))

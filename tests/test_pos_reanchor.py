@@ -17,7 +17,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from tests.test_chunk_q8 import B, c, D, F, H, C, KS, d_k, L  # noqa: F401
+from tests.chunk_common import B, c, D, F, H, C, KS, d_k, L  # noqa: F401
 from tests.test_batch_stream import setup  # noqa: F401 (pytest fixture)
 
 TAB = 256           # tiny table: cap = (256 - 80)//8*8 = 176 frames

@@ -1,20 +1,23 @@
 #!/bin/bash
-# Round-4 hardware runbook: every pending measurement on the real TPU in
-# one pass, outputs under log/hw_ab/. Safe to re-run; the persistent XLA
-# compile cache makes repeats fast. ONE TPU job at a time — don't run
-# while anything else uses the tunnel.
+# Hardware runbook: every pending measurement on the real TPU in one
+# pass, outputs under log/hw_ab/ (committed — they are the raw evidence
+# docs/status.md cites). Safe to re-run; the persistent XLA compile
+# cache makes repeats fast. ONE TPU job at a time — don't run while
+# anything else uses the tunnel.
 #
 #   bash tools/run_hw_ab.sh
 #
 # Measurements:
-#   1. bench.py            — full bench: ring-cache serving (default) +
-#                            roll ablation, int8 KV, multi-chunk k4,
-#                            per-family full-context B=32 (fused vs xla),
-#                            squeezeformer fused-train step
-#   2. bench_chunk_q8.py   — chunk-step config sweep at B=32/128 incl.
-#                            ring entries + fixed-block int8 ablation
-#   3. soak_stream.py      — hour-of-audio streaming soak (ring + table
+#   1. bench.py --full     — headline rows (ring serving + exact-
+#                            positions tick, train B=16/32, per-family
+#                            B=32, predict_long) PLUS the ablation rows
+#                            (roll-cache, multi-chunk k4, flash variant,
+#                            squeezeformer fused-train A/B)
+#   2. soak_stream.py      — hour-of-audio streaming soak (ring + table
 #                            horizon crossing; flat-memory evidence)
+#
+# (The round-4 int8-KV sweep tool bench_chunk_q8.py was deleted with the
+# int8 route itself — decision record in docs/streaming_roofline.md.)
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p log/hw_ab
@@ -24,14 +27,10 @@ echo "== TPU check =="
 timeout 600 python -c "import jax; print(jax.devices())" || {
   echo "TPU tunnel unavailable; aborting"; exit 1; }
 
-echo "== bench.py =="
-timeout 5400 python bench.py 2> "log/hw_ab/bench_${ts}.log" \
+echo "== bench.py --full =="
+timeout 5400 python bench.py --full 2> "log/hw_ab/bench_${ts}.log" \
   | tee "log/hw_ab/bench_${ts}.json"
 tail -40 "log/hw_ab/bench_${ts}.log"
-
-echo "== chunk-step config sweep =="
-timeout 3600 python tools/bench_chunk_q8.py 32 128 \
-  2>&1 | tee "log/hw_ab/chunk_q8_${ts}.log"
 
 echo "== streaming soak (60 min of audio, 2 slots, ring engine) =="
 timeout 3600 python tools/soak_stream.py \
