@@ -653,11 +653,16 @@ class ConformerModel(nn.Module):
 
     def make_encoder(self):
         """Encoder factory — overridden by Squeezeformer/Efficient-Conformer
-        subclasses; everything else (loss, CTC head, chunk API) is shared."""
+        subclasses; everything else (loss, CTC head, chunk API) is shared.
+        encoder_conf may override the streaming-derived use_dynamic_chunk/
+        causal defaults (the reference's splat at model.py:44-47 would
+        raise on a duplicate key; here an explicit key wins — used by
+        the head-to-head ablation harness)."""
         enc_conf = dict(self.encoder_conf or {})
+        enc_conf.setdefault("use_dynamic_chunk", self.streaming)
+        enc_conf.setdefault("causal", self.streaming)
         return ConformerEncoder(
             input_size=self.input_dim, cmvn=self.cmvn,
-            use_dynamic_chunk=self.streaming, causal=self.streaming,
             dtype=self.dtype, name="encoder", **enc_conf)
 
     def setup(self):

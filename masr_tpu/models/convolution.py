@@ -55,8 +55,11 @@ class ConvolutionModule(nn.Module):
         if self.norm == "layer_norm":
             x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         else:
+            # momentum=0.9 keeps 90% of the old running stat — torch
+            # BatchNorm1d's momentum=0.1 convention (flax's 0.99 default
+            # would estimate eval stats 10× slower than the reference)
             x = nn.BatchNorm(use_running_average=not train, epsilon=1e-5,
-                             dtype=self.dtype, name="norm")(x)
+                             momentum=0.9, dtype=self.dtype, name="norm")(x)
         x = self.activation(x)
         x = nn.Dense(self.channels, use_bias=self.bias, dtype=self.dtype,
                      name="pointwise_conv2")(x)

@@ -147,8 +147,9 @@ class StridedConvolutionModule(nn.Module):
         if self.norm == "layer_norm":
             x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         else:
+            # torch momentum=0.1 convention (see convolution.py)
             x = nn.BatchNorm(use_running_average=not train, epsilon=1e-5,
-                             dtype=self.dtype, name="norm")(x)
+                             momentum=0.9, dtype=self.dtype, name="norm")(x)
         x = self.activation(x)
         x = nn.Dense(self.channels, dtype=self.dtype,
                      name="pointwise_conv2")(x)

@@ -198,8 +198,49 @@ def _shim_reference():
         sys.path.insert(0, "/root/reference")
 
 
+def build_reference_model(vocab, mean_istd_path, seed=17,
+                          no_dynamic_chunk=False):
+    """Reference ConformerModel with its native torch-seeded init (the
+    same object train_reference builds — factored out so --same_init /
+    --lockstep can snapshot the initial weights)."""
+    import torch
+    _shim_reference()
+    from masr.model_utils.conformer.model import ConformerModel
+    torch.manual_seed(seed)
+    model = ConformerModel(
+        input_dim=FEAT, vocab_size=len(vocab),
+        mean_istd_path=mean_istd_path, streaming=True,
+        encoder_conf=dict(ENC_CONF), decoder_conf=dict(DEC_CONF),
+        **MODEL_CONF)
+    if no_dynamic_chunk:
+        # the flag is read per forward call, so post-construction
+        # assignment is exact (reference encoder.py:327-338)
+        model.encoder.use_dynamic_chunk = False
+    return model
+
+
+def torch_init_to_flax(t_model, f_model, f_variables):
+    """Snapshot a torch ConformerModel's CURRENT weights into a flax
+    param tree (the tests/test_convert_parity.py machinery) — the
+    --same_init bisect starts both frameworks from literally identical
+    numbers."""
+    from masr_tpu.models.convert import (apply_converted,
+                                         convert_conformer_family)
+    sd = {k: v.detach().numpy() for k, v in t_model.state_dict().items()
+          if "global_cmvn" not in k}
+    converted, misses = convert_conformer_family(
+        sd, FEAT, ENC_CONF["output_size"])
+    assert not misses, f"unmapped torch params: {misses[:5]}"
+    # allow_extra: the reference instantiates a dead right_decoder
+    # (embed/after_norm/output_layer) even at r_num_blocks=0; our flax
+    # decoder doesn't — those tensors are loss-inert either way
+    return apply_converted(f_variables["params"], converted, strict=True,
+                           allow_extra=True)
+
+
 def train_reference(batches, vocab, mean_istd_path, epochs, log, seed=17,
-                    eval_fn=None, eval_every=0):
+                    eval_fn=None, eval_every=0, no_dynamic_chunk=False,
+                    model=None, step_losses=None):
     """The reference's ConformerModel + WarmupLR trained with the
     reference's step semantics (trainer.py:347-427). eval_fn(model) → CER
     every eval_every epochs implements the reference's own best-checkpoint
@@ -209,14 +250,10 @@ def train_reference(batches, vocab, mean_istd_path, epochs, log, seed=17,
     import torch
     torch.set_num_threads(max(os.cpu_count() - 2, 1))
     _shim_reference()
-    from masr.model_utils.conformer.model import ConformerModel
     from masr.optimizer.scheduler import WarmupLR
-    torch.manual_seed(seed)
-    model = ConformerModel(
-        input_dim=FEAT, vocab_size=len(vocab),
-        mean_istd_path=mean_istd_path, streaming=True,
-        encoder_conf=dict(ENC_CONF), decoder_conf=dict(DEC_CONF),
-        **MODEL_CONF)
+    if model is None:
+        model = build_reference_model(vocab, mean_istd_path, seed=seed,
+                                      no_dynamic_chunk=no_dynamic_chunk)
     model.train()
     opt = torch.optim.Adam(model.parameters(), lr=LR, weight_decay=1e-6)
     sched = WarmupLR(opt, warmup_steps=WARMUP, min_lr=1e-5)
@@ -237,6 +274,11 @@ def train_reference(batches, vocab, mean_istd_path, epochs, log, seed=17,
             opt.step()
             sched.step()
             losses.append(float(loss.detach()))
+            if step_losses is not None:
+                step_losses.append(
+                    {"loss": float(loss.detach()),
+                     "ctc": float(loss_dict["loss_ctc"].detach()),
+                     "att": float(loss_dict["loss_att"].detach())})
         curves.append(float(np.mean(losses)))
         log(f"[torch] epoch {ep + 1}/{epochs} loss {curves[-1]:.4f}")
         if eval_fn and eval_every and (ep + 1) % eval_every == 0:
@@ -273,10 +315,15 @@ def reference_probs(model, batches):
 
 
 def train_ours(batches, vocab, mean_istd_path, epochs, log, seed=23,
-               eval_fn=None, eval_every=0, torch_init=False):
+               eval_fn=None, eval_every=0, torch_init=False,
+               no_dynamic_chunk=False, same_init_model=None,
+               step_losses=None):
     """eval_fn(model, state) → CER every eval_every epochs; the best
     params are restored before returning (mirrors the reference trainer's
-    best-checkpoint-by-cer selection, trainer.py:572-590)."""
+    best-checkpoint-by-cer selection, trainer.py:572-590).
+    same_init_model: a torch ConformerModel whose CURRENT weights are
+    converted into the starting flax params (--same_init / --lockstep —
+    overrides torch_init)."""
     import jax
     import jax.numpy as jnp
     from masr_tpu.models.registry import build_model
@@ -285,9 +332,12 @@ def train_ours(batches, vocab, mean_istd_path, epochs, log, seed=23,
     from masr_tpu.training.train_state import TrainState, make_train_step
     with open(mean_istd_path, encoding="utf-8") as f:
         ms = json.load(f)
+    enc_conf = dict(ENC_CONF)
+    if no_dynamic_chunk:
+        enc_conf["use_dynamic_chunk"] = False
     model = build_model(
         "conformer", FEAT, len(vocab), streaming=True,
-        encoder_conf=dict(ENC_CONF), decoder_conf=dict(DEC_CONF),
+        encoder_conf=enc_conf, decoder_conf=dict(DEC_CONF),
         model_conf=dict(MODEL_CONF),
         cmvn=GlobalCMVN(np.asarray(ms["mean"]), np.asarray(ms["istd"])))
     rng = jax.random.PRNGKey(seed)
@@ -298,7 +348,9 @@ def train_ours(batches, vocab, mean_istd_path, epochs, log, seed=23,
         jnp.asarray(b0["labels"][:2]), jnp.asarray(b0["label_lens"][:2]),
         train=True)
     params = variables["params"]
-    if torch_init:
+    if same_init_model is not None:
+        params = torch_init_to_flax(same_init_model, model, variables)
+    elif torch_init:
         # reference-default init parity: torch kaiming_uniform kernels +
         # uniform biases instead of flax lecun_normal + zeros
         # (models/initializers.py) — the same distributions the
@@ -324,6 +376,11 @@ def train_ours(batches, vocab, mean_istd_path, epochs, log, seed=23,
                 state, {k: jnp.asarray(v) for k, v in b.items()
                         if k != "valid"}, r)
             losses.append(float(metrics["loss"]))
+            if step_losses is not None:
+                step_losses.append(
+                    {"loss": float(metrics["loss"]),
+                     "ctc": float(metrics["loss_ctc"]),
+                     "att": float(metrics["loss_att"])})
         curves.append(float(np.mean(losses)))
         log(f"[jax]   epoch {ep + 1}/{epochs} loss {curves[-1]:.4f}")
         if eval_fn and eval_every and (ep + 1) % eval_every == 0:
@@ -412,6 +469,30 @@ def main():
                     help="start the jax side from torch-default init "
                          "distributions (models/initializers.py) — "
                          "matches what reference runs start from")
+    ap.add_argument("--dropout0", action="store_true",
+                    help="ablation: zero every dropout rate on BOTH "
+                         "sides (isolates the one unequalized "
+                         "stochastic factor of the r4 head-to-head)")
+    ap.add_argument("--no_dynamic_chunk", action="store_true",
+                    help="ablation: disable dynamic-chunk mask training "
+                         "on BOTH sides (the other unequalized RNG draw)")
+    ap.add_argument("--same_init", action="store_true",
+                    help="convert the torch model's initial weights to "
+                         "flax so both sides start from LITERALLY "
+                         "identical numbers (test_convert_parity "
+                         "machinery)")
+    ap.add_argument("--f32_matmul", action="store_true",
+                    help="ablation: force jax_default_matmul_precision="
+                         "float32 — on TPU, f32 matmuls otherwise run "
+                         "with bf16-rounded inputs (XLA's DEFAULT "
+                         "precision), a per-step rounding noise the "
+                         "torch-CPU side does not have")
+    ap.add_argument("--lockstep", type=int, default=0,
+                    help="bisect mode: run N train steps per side from "
+                         "the SAME initial weights on identical batches "
+                         "and diff the per-step loss/ctc/att curves "
+                         "(requires --dropout0 --no_dynamic_chunk; "
+                         "writes <out>/lockstep.json)")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     logf = open(os.path.join(args.out, "log.txt"), "a")
@@ -422,6 +503,16 @@ def main():
         logf.flush()
 
     t0 = time.time()
+    if args.f32_matmul:
+        import jax
+        jax.config.update("jax_default_matmul_precision", "float32")
+        log("f32_matmul: jax matmuls forced to full f32 precision")
+    if args.dropout0:
+        for conf in (ENC_CONF, DEC_CONF):
+            for key in list(conf):
+                if key.endswith("dropout_rate"):
+                    conf[key] = 0.0
+        log("dropout0: every dropout rate zeroed on both sides")
     if args.hard:
         chars, len_lo, len_hi = CHARS_HARD, 6, 13
         tr_snr = tuple(float(v) for v in args.train_snr.split(":"))
@@ -447,6 +538,57 @@ def main():
         f"maxT={max(f.shape[0] for f in tr_feats)}")
 
     seeds = [int(s) for s in args.seeds.split(",")]
+
+    if args.lockstep:
+        # ---- bisect mode: identical weights, identical batches, no
+        # stochastic factors → per-step loss curves must overlay to
+        # numerics; the first divergent step localizes any behavioral
+        # difference between the frameworks (VERDICT r4 item 2). ----
+        assert args.dropout0 and args.no_dynamic_chunk, \
+            "--lockstep needs --dropout0 --no_dynamic_chunk (both sides " \
+            "deterministic)"
+        import copy
+        import math
+        seed = seeds[0]
+        n_epochs = max(1, math.ceil(args.lockstep / len(tr_batches)))
+        t_model = build_reference_model(vocab, mean_istd, seed=seed,
+                                        no_dynamic_chunk=True)
+        t_init = copy.deepcopy(t_model)
+        j_steps = []
+        train_ours(tr_batches, vocab, mean_istd, n_epochs, log, seed=seed,
+                   no_dynamic_chunk=True, same_init_model=t_init,
+                   step_losses=j_steps)
+        t_steps = []
+        train_reference(tr_batches, vocab, mean_istd, n_epochs, log,
+                        seed=seed, model=t_model, step_losses=t_steps)
+        n = min(args.lockstep, len(t_steps), len(j_steps))
+        rows = []
+        first_div = None
+        for i in range(n):
+            row = {"step": i + 1}
+            for key in ("loss", "ctc", "att"):
+                tv, jv = t_steps[i][key], j_steps[i][key]
+                row[f"torch_{key}"] = tv
+                row[f"jax_{key}"] = jv
+                row[f"rel_{key}"] = abs(tv - jv) / max(abs(tv), 1e-6)
+            rows.append(row)
+            if first_div is None and row["rel_loss"] > 5e-3:
+                first_div = i + 1
+        out = {"steps": rows, "first_div_step_rel5e-3": first_div,
+               "max_rel_loss": max(r["rel_loss"] for r in rows),
+               "final_rel_loss": rows[-1]["rel_loss"],
+               "config_note": "same converted init, identical batches, "
+                              "dropout0, no dynamic chunk"}
+        with open(os.path.join(args.out, "lockstep.json"), "w") as f:
+            json.dump(out, f, indent=2)
+        for r in rows[:8] + rows[8::max(1, n // 12)]:
+            log(f"step {r['step']:3d}: loss torch {r['torch_loss']:.5f} "
+                f"jax {r['jax_loss']:.5f} rel {r['rel_loss']:.2e} "
+                f"(ctc {r['rel_ctc']:.1e} att {r['rel_att']:.1e})")
+        log(f"lockstep: max rel |Δloss| {out['max_rel_loss']:.2e} over "
+            f"{n} steps; first step beyond 5e-3: {first_div}")
+        return
+
     report = {"config": {"enc": ENC_CONF, "dec": DEC_CONF,
                          "model": MODEL_CONF, "lr": LR, "warmup": WARMUP,
                          "epochs": args.epochs, "seeds": seeds,
@@ -456,6 +598,10 @@ def main():
                          "sent_len": [len_lo, len_hi - 1],
                          "eval_every": args.eval_every,
                          "torch_init": args.torch_init,
+                         "dropout0": args.dropout0,
+                         "no_dynamic_chunk": args.no_dynamic_chunk,
+                         "same_init": args.same_init,
+                         "f32_matmul": args.f32_matmul,
                          "n_train": args.n_train, "n_test": args.n_test},
               "masr_tpu": {"runs": []}, "reference": {"runs": []}}
     curves = {}
@@ -481,18 +627,29 @@ def main():
 
     ee = args.eval_every
     for seed in seeds:
+        same_init = None
+        t_model = None
+        if args.same_init:
+            import copy
+            t_model = build_reference_model(
+                vocab, mean_istd, seed=seed,
+                no_dynamic_chunk=args.no_dynamic_chunk)
+            same_init = copy.deepcopy(t_model)
         if args.skip != "jax":
             jm, jstate, jcurve = train_ours(
                 tr_batches, vocab, mean_istd, args.epochs, log, seed=seed,
                 eval_fn=eval_jax if ee else None, eval_every=ee,
-                torch_init=args.torch_init)
+                torch_init=args.torch_init,
+                no_dynamic_chunk=args.no_dynamic_chunk,
+                same_init_model=same_init)
             curves[f"jax_s{seed}"] = jcurve
             finish("masr_tpu", ours_probs(jm, jstate, te_batches),
                    seed, jcurve)
         if args.skip != "torch":
             tm, tcurve = train_reference(
                 tr_batches, vocab, mean_istd, args.epochs, log, seed=seed,
-                eval_fn=eval_torch if ee else None, eval_every=ee)
+                eval_fn=eval_torch if ee else None, eval_every=ee,
+                no_dynamic_chunk=args.no_dynamic_chunk, model=t_model)
             curves[f"torch_s{seed}"] = tcurve
             finish("reference", reference_probs(tm, te_batches),
                    seed, tcurve)
