@@ -78,7 +78,9 @@ def add_optional_chunk_mask(xs_len: int, masks: jax.Array,
             full = draw > xs_len // 2
             chunk_size = jnp.where(full, xs_len, draw % 25 + 1)
             if use_dynamic_left_chunk:
-                max_left = (xs_len + chunk_size - 1) // chunk_size
+                # reference mask.py:130: (max_len - 1) // chunk_size, drawn
+                # high-exclusive — NOT a ceil-div over xs_len
+                max_left = (xs_len - 1) // chunk_size
                 left_draw = jax.random.randint(k2, (), 0, jnp.maximum(max_left, 1))
                 num_left_chunks = jnp.where(full, -1, left_draw)
             else:

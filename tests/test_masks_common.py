@@ -62,6 +62,32 @@ def test_add_optional_chunk_mask_dynamic_draws():
     assert m[7, 7]  # diagonal always visible
 
 
+def test_add_optional_chunk_mask_dynamic_left():
+    # reference mask.py:126-133: for a non-full draw, num_left_chunks is
+    # drawn from randint(0, (max_len - 1) // chunk_size) — high-exclusive,
+    # NOT a ceil-div over max_len. Replicate the draw with the same key
+    # split and pin the mask exactly + the bound over many keys.
+    T = 32
+    pad = M.make_non_pad_mask(jnp.asarray([T]), T)[:, None, :]
+    for seed in range(40):
+        rng = jax.random.PRNGKey(seed)
+        out = M.add_optional_chunk_mask(T, pad, True, True, 0, 0, -1, rng=rng)
+        k1, k2 = jax.random.split(rng)
+        draw = int(jax.random.randint(k1, (), 1, T))
+        full = draw > T // 2
+        chunk = T if full else draw % 25 + 1
+        if full:
+            left = -1
+        else:
+            max_left = (T - 1) // chunk
+            left = int(jax.random.randint(k2, (), 0, max(max_left, 1)))
+            assert 0 <= left < max(max_left, 1)
+        expect = np.asarray(M.subsequent_chunk_mask(T, chunk, left))
+        np.testing.assert_array_equal(np.asarray(out)[0], expect,
+                                      err_msg=f"seed={seed} chunk={chunk} "
+                                              f"left={left}")
+
+
 def test_add_sos_eos():
     ys = jnp.asarray([[1, 2, 3, -1], [4, 5, -1, -1]])
     lens = jnp.asarray([3, 2])
