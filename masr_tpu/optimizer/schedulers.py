@@ -92,10 +92,12 @@ def build_optimizer(optimizer_conf, grad_clip=5.0, accum_grad=1):
     if name in ("Adam", "AdamW") and conf.get("fused", False):
         # single-pass fused update (optimizer/fused.py): same numbers as
         # the optax chain below with fewer materialized intermediates.
-        # Measured NEUTRAL on v5e inside the jitted train step (23.3 vs
-        # 22.9 ms/step, within run noise) — XLA already fuses the chain;
-        # the optimizer's ~3.5 ms is moment/param HBM traffic, which both
-        # forms pay. Kept opt-in for the activation-memory headroom.
+        # Measured NEUTRAL on v5e inside the jitted train step, twice:
+        # 23.3 vs 22.9 ms/step at B=16, and 34.77 vs 34.72 at B=32 with
+        # frozen-grad probes 3.33 vs 3.64 ms (docs/train_roofline.md) —
+        # XLA already fuses the chain; the optimizer's ~3.3 ms is
+        # moment/param HBM traffic, which both forms pay. Kept opt-in
+        # for the activation-memory headroom.
         from masr_tpu.optimizer.fused import fused_adam
         tx = fused_adam(schedule, weight_decay=wd,
                         decoupled=(name == "AdamW"),

@@ -18,6 +18,10 @@ scan, value-readback timing — bench.py rules):
   enc_fwd     forward-only encoder (no grad) — splits fwd vs bwd
   opt_only    tx.update + apply_updates on frozen grads — optimizer +
               clip plumbing alone
+  opt_fused   same, with the single-pass fused Adam
+              (optimizer/fused.py) instead of the optax chain — prices
+              the materialized-intermediate traffic the chain pays
+  full_fused  the full step with the fused optimizer routed
 
 Derived components (ms): decoder+att-loss = full − ctc_only;
 ctc head+loss = full − att_only; encoder fwd+bwd ≈ enc_only − opt_only;
@@ -112,10 +116,12 @@ def main():
             batch0["labels"][:2], batch0["label_lens"][:2], train=True)
         return m, v
 
-    tx, _ = build_optimizer(
-        {"optimizer": "Adam", "learning_rate": 1e-3, "weight_decay": 1e-6,
-         "scheduler": "WarmupLR", "scheduler_conf": {"warmup_steps": 25000}},
-        grad_clip=5.0, accum_grad=1)
+    OPT_CONF = {"optimizer": "Adam", "learning_rate": 1e-3,
+                "weight_decay": 1e-6, "scheduler": "WarmupLR",
+                "scheduler_conf": {"warmup_steps": 25000}}
+    tx, _ = build_optimizer(OPT_CONF, grad_clip=5.0, accum_grad=1)
+    tx_fused, _ = build_optimizer(dict(OPT_CONF, fused=True),
+                                  grad_clip=5.0, accum_grad=1)
 
     rows = {}
     flops = None
@@ -157,6 +163,36 @@ def main():
     rows["enc_only"] = timed_scan(enc_step, st, batch0, rng, args.K) * 1e3
     print(f"# enc_only: {rows['enc_only']:.2f} ms/step", file=sys.stderr)
 
+    # counted encoder fwd+bwd FLOPs (XLA route so the count is real):
+    # prices the encoder's share of the model FLOPs for the bound
+    # argument in docs/train_roofline.md
+    m_x, v_x = build_variant(fused=False)
+
+    def enc_loss_x(params, batch, rng):
+        d, c = jax.random.split(rng)
+        out, _mask = m_x.apply(
+            {"params": params}, batch["inputs"], batch["input_lens"],
+            train=True, rngs={"dropout": d, "chunk": c},
+            method=lambda mod, x, lens, train: mod.encoder(x, lens,
+                                                           train=train))
+        return jnp.mean(out.astype(jnp.float32))
+
+    def enc_step_x(state, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        loss, grads = jax.value_and_grad(enc_loss_x)(state.params, batch,
+                                                     rng)
+        updates, opt2 = state.tx.update(grads, state.opt_state,
+                                        state.params)
+        import optax
+        new_params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=new_params,
+                             opt_state=opt2), {"loss": loss}
+
+    st_x = TrainState.create(m_x.apply, v_x["params"], tx,
+                             v_x.get("batch_stats"))
+    flops_enc = bench.xla_flops(jax.jit(enc_step_x), st_x, batch0, rng)
+    print(f"# enc counted FLOPs: {flops_enc / 1e12:.2f} T", file=sys.stderr)
+
     def enc_fwd_step(state, batch, rng):
         loss = enc_loss(state.params, batch,
                         jax.random.fold_in(rng, state.step))
@@ -181,6 +217,33 @@ def main():
     rows["opt_only"] = timed_scan(opt_step, st, batch0, rng, args.K) * 1e3
     print(f"# opt_only: {rows['opt_only']:.2f} ms/step", file=sys.stderr)
 
+    # fused single-pass Adam: same frozen-grad probe on the fused tx —
+    # isolates the optimizer form from everything else in the step
+    st_f = TrainState.create(m.apply, v["params"], tx_fused,
+                             v.get("batch_stats"))
+
+    def opt_fused_step(state, batch, rng):
+        import optax
+        g = jax.tree.map(
+            lambda x: x * (1 + 1e-6 * batch["inputs"][0, 0, 0]), frozen)
+        updates, opt2 = state.tx.update(g, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=new_params,
+                             opt_state=opt2), {"loss": batch["inputs"].sum()}
+
+    rows["opt_fused"] = timed_scan(opt_fused_step, st_f, batch0, rng,
+                                   args.K) * 1e3
+    print(f"# opt_fused: {rows['opt_fused']:.2f} ms/step", file=sys.stderr)
+
+    # full step with the fused optimizer routed end-to-end
+    m2, v2f = build_variant()
+    st_ff = TrainState.create(m2.apply, v2f["params"], tx_fused,
+                              v2f.get("batch_stats"))
+    rows["full_fused"] = timed_scan(make_train_step(m2, tx_fused), st_ff,
+                                    batch0, rng, args.K) * 1e3
+    print(f"# full_fused: {rows['full_fused']:.2f} ms/step",
+          file=sys.stderr)
+
     full = rows["full"]
     mfu = (flops / (full / 1e3) / peak) if (flops and peak) else None
     print(f"\n## Train-step roofline, B={B}×{T / 100:.0f} s bf16 "
@@ -203,8 +266,19 @@ def main():
     if mfu:
         print(f"\nfull-step MFU {mfu:.4f} (XLA-counted {flops / 1e12:.2f} "
               f"TFLOP/step, fused kernels excluded from count — same math)")
+        print(f"encoder share: {flops_enc / 1e12:.2f} TFLOP counted "
+              f"({100 * flops_enc / flops:.0f}%); encoder-only MFU "
+              f"{flops_enc / (rows['enc_only'] / 1e3) / peak:.3f}; with "
+              f"staged-recompute FLOPs (~4/3×) hardware util "
+              f"{flops_enc * 4 / 3 / (rows['enc_only'] / 1e3) / peak:.3f}")
     print(f"fused-vs-xla encoder ablation: {rows['xla']:.2f} → "
           f"{full:.2f} ms")
+    if "opt_fused" in rows:
+        print(f"optimizer chain vs fused single-pass: "
+              f"{rows['opt_only']:.2f} → {rows['opt_fused']:.2f} ms "
+              f"(full step {full:.2f} → {rows['full_fused']:.2f})")
+        if mfu:
+            print(f"full_fused MFU {flops / (rows['full_fused'] / 1e3) / peak:.4f}")
 
 
 if __name__ == "__main__":
