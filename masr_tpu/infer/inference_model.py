@@ -66,6 +66,8 @@ class InferencePredictor(object):
         self._chunk_step_greedy = jax.jit(self._chunk_step_greedy_impl)
         self._chunk_step_samples_greedy = jax.jit(
             self._chunk_step_samples_greedy_impl)
+        # same fusion for full-context greedy: encode + argmax one program
+        self._encode_greedy = jax.jit(self._encode_greedy_impl)
         self.state = None  # streaming state pytree
         self.dec_state = None  # fused stream-decoder state pytree
         self._decode_fn = None
@@ -142,6 +144,11 @@ class InferencePredictor(object):
         ids, maxp = self._greedy_head(probs)
         return ids, maxp, state
 
+    def _encode_greedy_impl(self, variables, speech, lens):
+        probs, out_lens = self._encode_impl(variables, speech, lens)
+        ids, maxp = self._greedy_head(probs)
+        return ids, maxp, out_lens
+
     def _chunk_step_decode_impl(self, variables, speech, state, dec_state,
                                 frame_valid):
         probs, state = self._chunk_step_impl(variables, speech, state)
@@ -179,6 +186,21 @@ class InferencePredictor(object):
             speech = np.pad(speech, ((0, 0), (0, T_pad - T), (0, 0)))
         return self._encode(self.variables, jnp.asarray(speech),
                             jnp.asarray(speech_lengths, jnp.int32))
+
+    def predict_greedy(self, speech, speech_lengths):
+        """Full-context encode with the greedy head fused on device: only
+        per-frame argmax ids + max probs come back to the host (B, T')
+        int32/f32 — the (B, T', V) probs never cross the link (at V≈5k
+        chars that's ~64 MB per B=16 batch avoided on remote-TPU setups)."""
+        speech = np.asarray(speech, np.float32)
+        B, T, F = speech.shape
+        T_pad = _round_up(max(T, 8), self.length_bucket)
+        if T_pad != T:
+            speech = np.pad(speech, ((0, 0), (0, T_pad - T), (0, 0)))
+        ids, maxp, lens = self._encode_greedy(
+            self.variables, jnp.asarray(speech),
+            jnp.asarray(speech_lengths, jnp.int32))
+        return np.asarray(ids), np.asarray(maxp), np.asarray(lens)
 
     # ------------------------------------------------------------------ #
     def encode_for_rescoring(self, speech, speech_lengths):

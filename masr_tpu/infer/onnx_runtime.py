@@ -215,15 +215,33 @@ def _conv(x, w, b, attrs):
     B, Cin, L = x.shape
     Cout, Cin_g, K = w.shape
     T = (L - K) // stride + 1
-    win = np.lib.stride_tricks.sliding_window_view(x, K, axis=2)[:, :, ::stride]
-    # win: (B, Cin, T, K); grouped einsum
-    win = win.reshape(B, g, Cin // g, T, K)
-    wg = w.reshape(g, Cout // g, Cin_g, K)
-    out = np.einsum("bgctk,gock->bgot", win, wg,
-                    optimize=True).reshape(B, Cout, T)
+    # specialized fast forms (BLAS matmul / shifted adds) for the shapes
+    # that dominate batched VAD runs; grouped-general keeps the einsum
+    if K == 1 and g == 1:
+        xs = x[:, :, ::stride] if stride > 1 else x
+        out = (xs.transpose(0, 2, 1).reshape(B * T, Cin) @ w[:, :, 0].T) \
+            .reshape(B, T, Cout).transpose(0, 2, 1)
+    elif g == Cin and Cout == Cin and Cin_g == 1:
+        out = np.zeros((B, Cout, T), np.float32)
+        for k in range(K):
+            out += w[:, 0, k][None, :, None] \
+                * x[:, :, k: k + (T - 1) * stride + 1: stride]
+    elif g == 1:
+        win = np.lib.stride_tricks.sliding_window_view(
+            x, K, axis=2)[:, :, ::stride]       # (B, Cin, T, K)
+        col = win.transpose(0, 2, 1, 3).reshape(B * T, Cin * K)
+        out = (col @ w.reshape(Cout, Cin * K).T) \
+            .reshape(B, T, Cout).transpose(0, 2, 1)
+    else:
+        win = np.lib.stride_tricks.sliding_window_view(
+            x, K, axis=2)[:, :, ::stride]
+        win = win.reshape(B, g, Cin // g, T, K)
+        wg = w.reshape(g, Cout // g, Cin_g, K)
+        out = np.einsum("bgctk,gock->bgot", win, wg,
+                        optimize=True).reshape(B, Cout, T)
     if b is not None:
         out = out + b[None, :, None]
-    return out.astype(np.float32)
+    return np.ascontiguousarray(out, np.float32)
 
 
 def _lstm(X, W, R, B, init_h, init_c, hidden_size):

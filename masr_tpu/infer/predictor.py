@@ -157,6 +157,21 @@ class MASRPredictor(object):
             return AudioSegment.from_bytes(audio_data)
         raise TypeError(f"unsupported audio_data type: {type(audio_data)}")
 
+    def _greedy_full_mode(self):
+        """True when full-context decoding is plain greedy — then the
+        argmax head runs fused on device (ids readback, never probs)."""
+        return (self._device_beam_conf is None
+                and self.decoder != "attention_rescoring"
+                and not (self.decoder == "ctc_beam_search"
+                         and self.beam_search_decoder))
+
+    def _finish_text(self, score, text, use_pun, is_itn):
+        if use_pun and len(text) > 0 and self.pun_predictor is not None:
+            text = self.pun_predictor(text)
+        if is_itn:
+            text = self.inverse_text_normalization(text)
+        return {"text": text, "score": score}
+
     def _decode_result(self, probs, lens, use_pun=False, is_itn=False):
         """(1, T, V) probs → {'text', 'score'} (predict.py:118-144)."""
         if self._device_beam_conf is not None:
@@ -189,6 +204,14 @@ class MASRPredictor(object):
         if self._device_beam_conf is not None:
             # probs stay on device end-to-end (encode → beam search)
             probs, out_lens = self.predictor.predict_device(speech, lens)
+        elif self._greedy_full_mode():
+            # greedy head fused on device: ids/maxp readback, never probs
+            from masr_tpu.decoders.greedy import _collapse
+            ids, maxp, out_lens = self.predictor.predict_greedy(speech, lens)
+            L = int(out_lens[0])
+            score, text = _collapse(ids[0][:L], maxp[0][:L],
+                                    self._text_featurizer.vocab_list)
+            return self._finish_text(score, text, use_pun, is_itn)
         else:
             probs, out_lens = self.predictor.predict(speech, lens)
         return self._decode_result(probs, out_lens, use_pun, is_itn)
@@ -244,6 +267,18 @@ class MASRPredictor(object):
                 if is_itn and text:
                     text = self.inverse_text_normalization(text)
                 results.append({"text": text, "score": score})
+            return results
+        if self._greedy_full_mode():
+            # greedy head fused on device: ids/maxp readback, never probs
+            from masr_tpu.decoders.greedy import _collapse
+            ids, maxp, out_lens = self.predictor.predict_greedy(speech, lens)
+            results = []
+            for i in range(len(feats)):
+                L = int(out_lens[i])
+                score, text = _collapse(ids[i][:L], maxp[i][:L],
+                                        self._text_featurizer.vocab_list)
+                results.append(self._finish_text(score, text, use_pun,
+                                                 is_itn))
             return results
         probs, out_lens = self.predictor.predict(speech, lens)
         results = []

@@ -195,3 +195,25 @@ def test_predict_segments_batched_equals_sequential(predictor):
     assert [r["text"] for r in batched] == [r["text"] for r in sequential]
     for a, b in zip(batched, sequential):
         assert abs(a["score"] - b["score"]) < 1e-3
+
+
+def test_fused_greedy_route_matches_probs_route(predictor, test_wav_path,
+                                                monkeypatch):
+    """Plain ctc_greedy predict/predict_batch ride the fused device head
+    (argmax on device, ids readback). Pin them against the probs-readback
+    route the other decoders use — same text, same score."""
+    assert predictor._greedy_full_mode()
+    rs = np.random.RandomState(11)
+    wavs = [rs.standard_normal(int(n * 16000)).astype(np.float32) * 0.1
+            for n in (0.8, 1.2)]
+    fast_one = predictor.predict(test_wav_path)
+    fast_bat = predictor.predict_batch(wavs, sample_rate=16000)
+    monkeypatch.setattr(type(predictor), "_greedy_full_mode",
+                        lambda self: False)
+    slow_one = predictor.predict(test_wav_path)
+    slow_bat = predictor.predict_batch(wavs, sample_rate=16000)
+    assert fast_one["text"] == slow_one["text"]
+    assert abs(fast_one["score"] - slow_one["score"]) < 1e-3
+    assert [r["text"] for r in fast_bat] == [r["text"] for r in slow_bat]
+    for a, b in zip(fast_bat, slow_bat):
+        assert abs(a["score"] - b["score"]) < 1e-3

@@ -164,6 +164,45 @@ def test_silero_stream_vad_events():
     assert abs(ends[0] - 2 * SR) < 0.4 * SR
 
 
+def test_run_sequence_matches_per_window_loop():
+    """The vectorized offline path (batched frontend + one LSTM pass over
+    the window sequence) must reproduce the per-window stateful loop to
+    float32 rounding (BLAS picks shape-dependent reduction orders, so
+    batched matmuls differ from B=1 in the last ulp) and be block-size
+    invariant."""
+    vad = SileroVAD()
+    assert vad._fast is not None, "silero graph should support the fast path"
+    wav = np.concatenate([np.zeros(SR, np.float32), speech_like(1.5, seed=4),
+                          np.zeros(SR // 2, np.float32)])
+    wins = wav[: (len(wav) // 512) * 512].reshape(-1, 512)
+    vad.reset_states()
+    ref = np.array([vad(w) for w in wins], np.float32)
+    h_ref, c_ref = vad._h.copy(), vad._c.copy()
+    vad.reset_states()
+    got = vad.run_sequence(wins)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+    np.testing.assert_allclose(vad._h, h_ref, atol=1e-5)
+    np.testing.assert_allclose(vad._c, c_ref, atol=1e-5)
+    # state carries across run_sequence block boundaries
+    vad.reset_states()
+    got_blocked = vad.run_sequence(wins, block=17)
+    np.testing.assert_allclose(got_blocked, got, atol=1e-5)
+
+
+def test_timestamps_identical_fast_vs_loop():
+    """get_speech_timestamps must segment identically whichever silero
+    execution path runs underneath."""
+    wav = np.concatenate([np.zeros(SR, np.float32), speech_like(1.2, seed=5),
+                          np.zeros(SR, np.float32), speech_like(0.9, seed=6),
+                          np.zeros(SR, np.float32)])
+    vad = VADPredictor()
+    assert vad.silero is not None and vad.silero._fast is not None
+    ts_fast = vad.get_speech_timestamps(wav, SR)
+    vad.silero._fast = None  # force the per-window interpreter loop
+    ts_loop = vad.get_speech_timestamps(wav, SR)
+    assert ts_fast == ts_loop and len(ts_fast) == 2
+
+
 def test_heuristic_fallback_still_works():
     vad = VADPredictor(use_model=False)
     assert vad.silero is None
