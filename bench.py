@@ -119,7 +119,7 @@ def init_vars(model):
 
 def bench_stream_scan(model, variables, batch, K, fused=False,
                       pos_tables=True, tick_k=1,
-                      ring=False, exact=False):
+                      ring=False, exact=False, count_flops=False):
     """Scanned chunk stream: K distinct steps in one dispatch →
     (per_step_s, flops_per_step). fused=True uses the batched fused
     chunk step (ops/pallas/chunk_layer.py) — the path the batched
@@ -165,19 +165,34 @@ def bench_stream_scan(model, variables, batch, K, fused=False,
     xs = jnp.asarray(np.random.RandomState(batch).standard_normal(
         xshape), jnp.float32)
 
+    def _step(variables, x, st):
+        if fused:
+            return model.apply(variables, x, st, packed, None, exact,
+                               method=method)
+        return model.apply(variables, x, st, method=method)
+
     @jax.jit
     def stream(variables, xs, state):
         def body(st, x):
-            if fused:
-                probs, st = model.apply(variables, x, st, packed, None,
-                                        exact, method=method)
-            else:
-                probs, st = model.apply(variables, x, st, method=method)
+            probs, st = _step(variables, x, st)
             return st, jnp.sum(probs.astype(jnp.float32))
         st, out = jax.lax.scan(body, state, xs)
         return st, jnp.sum(out)
 
-    flops = xla_flops(stream, variables, xs, state)
+    # FLOPs must be counted on an UNSCANNED step: XLA's cost analysis
+    # prices a While body once, not ×K, so counting the scan and
+    # dividing by K under-reports by K (the r3/r4 "MFU 0.0006" serving
+    # artifact — bench_full_context/bench_train_step always counted
+    # unscanned twins, this helper didn't). Opt-in: it costs an extra
+    # compile, and the fused routes' in-Pallas FLOPs are invisible to
+    # the analysis anyway (callers reprice those from the XLA route).
+    flops = None
+    if count_flops:
+        @jax.jit
+        def one(variables, x, state):
+            probs, st = _step(variables, x, state)
+            return jnp.sum(probs.astype(jnp.float32))
+        flops = xla_flops(one, variables, xs[0], state)
     st, out = stream(variables, xs, state)  # compile + warm
     float(out)
     times = []
@@ -188,7 +203,7 @@ def bench_stream_scan(model, variables, batch, K, fused=False,
         st, out = stream(variables, xs_i, st)
         float(out)
         times.append((time.perf_counter() - t0) / K)
-    return float(np.median(times)), (flops / K if flops else None)
+    return float(np.median(times)), flops
 
 
 def bench_full_context(model, variables, batch, T, K=16, runs=3):
@@ -517,7 +532,8 @@ def main():
     model_f32 = build("f32")
     vars_f32 = init_vars(model_f32)
     per_chunk, chunk_flops = bench_stream_scan(model_f32, vars_f32,
-                                               batch=1, K=500)
+                                               batch=1, K=500,
+                                               count_flops=True)
     rtf = AUDIO_PER_CHUNK / per_chunk
     baseline_rtf = 5.5  # reference GPU streaming demo midpoint (BASELINE.md)
     SUMMARY["value"] = round(rtf, 2)
@@ -559,10 +575,10 @@ def main():
             log(f"serving B={B}: every route failed — skipping")
             continue
         if route != "vmapped" and chunk_flops:
-            # in-Pallas FLOPs are invisible to XLA's cost analysis (the
-            # r3 "MFU 0.0002" artifact) — price fused routes at B × the
-            # XLA-counted single-stream chunk step (same chunk/cache
-            # shapes), the same XLA-route pricing the family rows use
+            # in-Pallas FLOPs are invisible to XLA's cost analysis —
+            # price fused routes at B × the XLA-counted single-stream
+            # chunk step (same chunk/cache math), the same XLA-route
+            # pricing the family rows use
             flops = chunk_flops * B
         streams_rtf = B * AUDIO_PER_CHUNK / per_step
         serving[B] = dict(ms=per_step * 1e3, rtf=streams_rtf,
