@@ -178,9 +178,12 @@ def build_fwd(stage, interpret):
     return call
 
 
-def _time_scan(step, args, K, iters):
+def _time_scan(step, a0, rest, K, iters):
     """ms per step: K chained reps inside one jit, carry perturbs the
-    activation so the call cannot be hoisted; value readback."""
+    activation so the call cannot be hoisted; value readback. All
+    operands MUST flow in through `rest` (a tuple of arrays) — arrays
+    closed over by `step` would be serialized into the compile request
+    as constants, which the axon tunnel rejects (HTTP 413)."""
     @jax.jit
     def run(a0, rest):
         def body(a, _):
@@ -191,7 +194,6 @@ def _time_scan(step, args, K, iters):
         aK, accs = jax.lax.scan(body, a0, None, length=K)
         return jnp.float32(jnp.sum(aK[..., :1].astype(jnp.float32))) + \
             jnp.float32(accs[-1])
-    a0, rest = args
     float(run(a0, rest))                     # compile + warm
     best = float("inf")
     for _ in range(iters):
@@ -250,27 +252,32 @@ def main():
 
     z = fwd_st(a, w1, w2)[1]
 
-    def step_fwd(av, _):
-        (y,) = fwd(av, w1, w2)
+    def step_fwd(av, rest):
+        w1_, w2_ = rest
+        (y,) = fwd(av, w1_, w2_)
         return y, jnp.sum(y[..., :1].astype(jnp.float32))
 
-    def step_fwd_st(av, _):
-        y, zz = fwd_st(av, w1, w2)
+    def step_fwd_st(av, rest):
+        w1_, w2_ = rest
+        y, zz = fwd_st(av, w1_, w2_)
         return y, jnp.sum(zz[..., :1].astype(jnp.float32))
 
-    def step_bwd_rc(av, _):
-        da, dw1, dw2 = bwd_rc(av, df, w1, w2, None)
+    def step_bwd_rc(av, rest):
+        df_, w1_, w2_ = rest
+        da, dw1, dw2 = bwd_rc(av, df_, w1_, w2_, None)
         return da, jnp.sum(dw1[0]) + jnp.sum(dw2[0])
 
-    def step_bwd_st(av, _):
-        da, dw1, dw2 = bwd_st(av, df, w1, w2, z)
+    def step_bwd_st(av, rest):
+        df_, w1_, w2_, z_ = rest
+        da, dw1, dw2 = bwd_st(av, df_, w1_, w2_, z_)
         return da, jnp.sum(dw1[0]) + jnp.sum(dw2[0])
 
     res = {}
-    for name, st in (("fwd", step_fwd), ("fwd_stage", step_fwd_st),
-                     ("bwd_recompute", step_bwd_rc),
-                     ("bwd_staged", step_bwd_st)):
-        res[name] = _time_scan(st, (a, None), args.K, args.iters)
+    for name, st, rest in (("fwd", step_fwd, (w1, w2)),
+                           ("fwd_stage", step_fwd_st, (w1, w2)),
+                           ("bwd_recompute", step_bwd_rc, (df, w1, w2)),
+                           ("bwd_staged", step_bwd_st, (df, w1, w2, z))):
+        res[name] = _time_scan(st, a, rest, args.K, args.iters)
         print(f"{name:14s}: {res[name]:7.3f} ms / rep "
               f"({GRID} programs, T={T} D={D} F={F})")
     read_save = res["bwd_recompute"] - res["bwd_staged"]
